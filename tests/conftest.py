@@ -1,0 +1,55 @@
+"""Test configuration.
+
+All tests run on CPU with 8 virtual XLA devices so sharding/pjit paths are
+exercised without TPU hardware (the standard TPU-less testing recipe).
+This must run before jax initializes its backends, hence env vars here.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize imports jax at interpreter startup (to register
+# the axon TPU plugin), which snapshots JAX_PLATFORMS before this file runs —
+# so the env var alone is not enough; force the config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def import_reference_whisper():
+    """Import the reference torch implementation as a numerical oracle.
+
+    The reference imports numba/triton at module scope; neither is installed,
+    so stub just enough for CPU-path usage (numba.jit is a no-op decorator).
+    """
+    import types
+
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def _jit(*args, **kwargs):
+            if len(args) == 1 and callable(args[0]) and not kwargs:
+                return args[0]
+            return lambda f: f
+
+        numba.jit = _jit
+        sys.modules["numba"] = numba
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import whisper  # noqa: F401
+
+    return whisper
