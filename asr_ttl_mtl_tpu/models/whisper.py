@@ -1,0 +1,429 @@
+"""Functional Whisper encoder-decoder for TPU (pure-pytree params, jax).
+
+Architecture parity with reference `whisper/model.py` (AudioEncoder :174-204,
+TextDecoder :207-249, MultiHeadAttention :81-139), re-designed for XLA:
+
+* Parameters are a plain nested-dict pytree (fp32 masters); activations are
+  computed in a caller-chosen `compute_dtype` (bf16 on TPU) with fp32 MXU
+  accumulation via `preferred_element_type`, and LayerNorm always in fp32
+  (the reference upcasts LN the same way, model.py:39-41).
+* Decoding uses a *static-shape* KV cache: per-layer (B, n_text_ctx, D)
+  buffers written with `dynamic_update_slice` and masked by position —
+  instead of the reference's forward-hook cache that concatenates and
+  reallocates every step (model.py:380-411), which would retrace under jit.
+* One `decoder_apply` handles teacher-forced training (no cache), prompt
+  prefill (cache write of T positions) and incremental steps (T=1), so the
+  whole greedy/beam loop stays inside `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dims import ModelDimensions
+
+Params = Dict[str, Any]
+
+_F32 = jnp.float32
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:
+    """Sinusoidal position embeddings (reference model.py:62-68)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """LayerNorm computed in fp32, cast back to the input dtype."""
+    x32 = x.astype(_F32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    out = out * p["scale"].astype(_F32) + p["bias"].astype(_F32)
+    return out.astype(x.dtype)
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ W (+ b); weights stored (in, out); fp32 accumulation on the MXU."""
+    out = jnp.matmul(x, p["w"].astype(x.dtype), preferred_element_type=_F32)
+    if "b" in p:
+        out = out + p["b"].astype(_F32)
+    return out.astype(x.dtype)
+
+
+def conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """1-D conv over (B, C, T); weights in torch (O, I, K) layout."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=_F32,
+    )
+    out = out + p["b"].astype(_F32)[None, :, None]
+    return out.astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def qkv_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    mask: Optional[jnp.ndarray] = None,
+    return_qk: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Scaled dot-product attention over (B, T, D) projections.
+
+    Matches reference model.py:114-139: both q and k scaled by d_head**-0.25,
+    softmax in fp32. `mask` is an additive fp32 mask broadcastable to
+    (B, n_head, Tq, Tk).
+    """
+    d_head = q.shape[-1] // n_head
+    scale = d_head**-0.25
+    q = _split_heads(q, n_head) * jnp.asarray(scale, q.dtype)
+    k = _split_heads(k, n_head) * jnp.asarray(scale, k.dtype)
+    v = _split_heads(v, n_head)
+
+    qk = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=_F32)
+    if mask is not None:
+        qk = qk + mask
+    w = jax.nn.softmax(qk, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=_F32).astype(v.dtype)
+    return _merge_heads(out), (qk if return_qk else None)
+
+
+def _mha_project_qkv(p: Params, x: jnp.ndarray, xa: Optional[jnp.ndarray] = None):
+    src = x if xa is None else xa
+    return linear(p["query"], x), linear(p["key"], src), linear(p["value"], src)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def encoder_apply(
+    params: Params,
+    dims: ModelDimensions,
+    mel: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """mel (B, n_mels, 3000) -> audio features (B, n_audio_ctx, D)."""
+    p = params["encoder"]
+    x = mel.astype(compute_dtype)
+    x = jax.nn.gelu(conv1d(p["conv1"], x, stride=1), approximate=False)
+    x = jax.nn.gelu(conv1d(p["conv2"], x, stride=2), approximate=False)
+    x = x.transpose(0, 2, 1)  # (B, T, D)
+
+    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
+    x = (x + pos.astype(compute_dtype)).astype(compute_dtype)
+
+    for block in p["blocks"]:
+        # self-attention
+        res = x
+        h = layer_norm(block["attn_ln"], x)
+        q, k, v = _mha_project_qkv(block["attn"], h)
+        att, _ = qkv_attention(q, k, v, dims.n_audio_head)
+        x = res + linear(block["attn"]["out"], att)
+        # mlp
+        res = x
+        h = layer_norm(block["mlp_ln"], x)
+        h = jax.nn.gelu(linear(block["mlp"]["fc1"], h), approximate=False)
+        x = res + linear(block["mlp"]["fc2"], h)
+
+    return layer_norm(p["ln_post"], x)
+
+
+# ---------------------------------------------------------------------------
+# decoder (single code path for full / prefill / step)
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(
+    dims: ModelDimensions, batch: int, compute_dtype: jnp.dtype = jnp.float32
+) -> Params:
+    """Preallocated static-shape self-attention cache for all decoder layers."""
+    shape = (dims.n_text_layer, batch, dims.n_text_ctx, dims.n_text_state)
+    return {"k": jnp.zeros(shape, compute_dtype), "v": jnp.zeros(shape, compute_dtype)}
+
+
+def precompute_cross_kv(
+    params: Params, dims: ModelDimensions, audio_features: jnp.ndarray
+) -> Params:
+    """Cross-attention K/V projected once per audio window (the reference
+    computes these lazily inside its hook cache, decoding.py:101-109)."""
+    blocks = params["decoder"]["blocks"]
+    ks, vs = [], []
+    for block in blocks:
+        ks.append(linear(block["cross_attn"]["key"], audio_features))
+        vs.append(linear(block["cross_attn"]["value"], audio_features))
+    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}  # (L, B, Ta, D)
+
+
+def decoder_apply(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jnp.ndarray,  # (B, T) int32
+    audio_features: Optional[jnp.ndarray] = None,  # (B, Ta, D); None if cross_kv given
+    *,
+    kv_cache: Optional[Params] = None,
+    cross_kv: Optional[Params] = None,
+    pos_offset: Any = 0,  # scalar (traced ok): absolute position of tokens[:, 0]
+    compute_dtype: jnp.dtype = jnp.float32,
+    return_cross_qk: bool = False,
+    logits_slice: Optional[int] = None,  # keep only the last N positions' logits
+) -> Tuple[jnp.ndarray, Optional[Params], Optional[jnp.ndarray]]:
+    """Run the text decoder over `tokens`.
+
+    Modes:
+      * kv_cache=None: teacher-forced full forward (training / eval), causal
+        mask within the T tokens.
+      * kv_cache given: K/V for these T positions are written into the cache
+        at [pos_offset, pos_offset+T) and attention runs over the cache with
+        mask `key_pos <= query_pos` — covers both prompt prefill (T>1) and
+        incremental decode (T=1) without retracing.
+
+    Returns (logits fp32, updated kv_cache or None, cross_qk or None).
+    cross_qk: (L, B, n_head, T, Ta) fp32 pre-softmax attention logits for the
+    word-timestamp DTW path (replaces the reference's forward hooks,
+    timing.py:185-192).
+    """
+    p = params["decoder"]
+    B, T = tokens.shape
+    D = dims.n_text_state
+
+    embed = p["token_embedding"]
+    x = embed[tokens].astype(compute_dtype)
+    pos_emb = jax.lax.dynamic_slice(
+        p["positional_embedding"], (pos_offset, 0), (T, D)
+    ).astype(compute_dtype)
+    x = x + pos_emb
+
+    if cross_kv is None and audio_features is not None:
+        cross_kv = precompute_cross_kv(params, dims, audio_features)
+
+    # additive causal mask
+    neg = jnp.asarray(-1e9, _F32)
+    if kv_cache is None:
+        mask = jnp.where(np.triu(np.ones((T, T), bool), 1), neg, 0.0)[None, None]
+        kv_len = None
+    else:
+        q_pos = pos_offset + jnp.arange(T)  # (T,)
+        kv_len = dims.n_text_ctx
+        key_pos = jnp.arange(kv_len)  # (Tk,)
+        mask = jnp.where(key_pos[None, :] > q_pos[:, None], neg, 0.0)[None, None]
+
+    new_k, new_v = [], []
+    cross_qks = []
+    for li, block in enumerate(p["blocks"]):
+        # --- causal self-attention ---
+        res = x
+        h = layer_norm(block["attn_ln"], x)
+        q, k, v = _mha_project_qkv(block["attn"], h)
+        if kv_cache is not None:
+            k_buf = jax.lax.dynamic_update_slice(kv_cache["k"][li], k, (0, pos_offset, 0))
+            v_buf = jax.lax.dynamic_update_slice(kv_cache["v"][li], v, (0, pos_offset, 0))
+            new_k.append(k_buf)
+            new_v.append(v_buf)
+            k, v = k_buf, v_buf
+        att, _ = qkv_attention(q, k, v, dims.n_text_head, mask=mask)
+        x = res + linear(block["attn"]["out"], att)
+
+        # --- cross-attention ---
+        res = x
+        h = layer_norm(block["cross_attn_ln"], x)
+        qc = linear(block["cross_attn"]["query"], h)
+        att, qk = qkv_attention(
+            qc, cross_kv["k"][li], cross_kv["v"][li], dims.n_text_head,
+            return_qk=return_cross_qk,
+        )
+        if return_cross_qk:
+            cross_qks.append(qk)
+        x = res + linear(block["cross_attn"]["out"], att)
+
+        # --- mlp ---
+        res = x
+        h = layer_norm(block["mlp_ln"], x)
+        h = jax.nn.gelu(linear(block["mlp"]["fc1"], h), approximate=False)
+        x = res + linear(block["mlp"]["fc2"], h)
+
+    x = layer_norm(p["ln"], x)
+    if logits_slice is not None:
+        x = x[:, -logits_slice:]
+    logits = jnp.matmul(
+        x, embed.T.astype(x.dtype), preferred_element_type=_F32
+    )  # tied embeddings (reference model.py:245-247)
+
+    updated_cache = (
+        {"k": jnp.stack(new_k), "v": jnp.stack(new_v)} if kv_cache is not None else None
+    )
+    cross_qk = jnp.stack(cross_qks) if return_cross_qk else None
+    return logits, updated_cache, cross_qk
+
+
+def model_apply(
+    params: Params,
+    dims: ModelDimensions,
+    mel: jnp.ndarray,
+    tokens: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Full teacher-forced forward: mel + tokens -> logits (reference
+    model.py:293-296)."""
+    audio_features = encoder_apply(params, dims, mel, compute_dtype)
+    logits, _, _ = decoder_apply(
+        params, dims, tokens, audio_features, compute_dtype=compute_dtype
+    )
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# initialization / surgery
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, n_in, n_out, bias=True):
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(n_in)
+    p = {"w": jax.random.uniform(k1, (n_in, n_out), _F32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (n_out,), _F32, -bound, bound)
+    return p
+
+
+def _init_ln(n):
+    return {"scale": jnp.ones((n,), _F32), "bias": jnp.zeros((n,), _F32)}
+
+
+def _init_block(key, n_state, cross: bool):
+    keys = jax.random.split(key, 8)
+    block = {
+        "attn": {
+            "query": _init_linear(keys[0], n_state, n_state),
+            "key": _init_linear(keys[1], n_state, n_state, bias=False),
+            "value": _init_linear(keys[2], n_state, n_state),
+            "out": _init_linear(keys[3], n_state, n_state),
+        },
+        "attn_ln": _init_ln(n_state),
+        "mlp": {
+            "fc1": _init_linear(keys[4], n_state, n_state * 4),
+            "fc2": _init_linear(keys[5], n_state * 4, n_state),
+        },
+        "mlp_ln": _init_ln(n_state),
+    }
+    if cross:
+        block["cross_attn"] = {
+            "query": _init_linear(keys[6], n_state, n_state),
+            "key": _init_linear(keys[7], n_state, n_state, bias=False),
+            "value": _init_linear(jax.random.fold_in(key, 100), n_state, n_state),
+            "out": _init_linear(jax.random.fold_in(key, 101), n_state, n_state),
+        }
+        block["cross_attn_ln"] = _init_ln(n_state)
+    return block
+
+
+def init_params(key: jax.Array, dims: ModelDimensions) -> Params:
+    """Random-initialized parameter pytree (torch-comparable fan-in init)."""
+    ka, kt = jax.random.split(key)
+    a_keys = jax.random.split(ka, dims.n_audio_layer + 4)
+    t_keys = jax.random.split(kt, dims.n_text_layer + 4)
+
+    def conv_init(key, n_in, n_out, ksize):
+        k1, k2 = jax.random.split(key)
+        bound = 1.0 / np.sqrt(n_in * ksize)
+        return {
+            "w": jax.random.uniform(k1, (n_out, n_in, ksize), _F32, -bound, bound),
+            "b": jax.random.uniform(k2, (n_out,), _F32, -bound, bound),
+        }
+
+    encoder = {
+        "conv1": conv_init(a_keys[0], dims.n_mels, dims.n_audio_state, 3),
+        "conv2": conv_init(a_keys[1], dims.n_audio_state, dims.n_audio_state, 3),
+        "blocks": [
+            _init_block(a_keys[2 + i], dims.n_audio_state, cross=False)
+            for i in range(dims.n_audio_layer)
+        ],
+        "ln_post": _init_ln(dims.n_audio_state),
+    }
+    decoder = {
+        "token_embedding": jax.random.normal(
+            t_keys[0], (dims.n_vocab, dims.n_text_state), _F32
+        )
+        * 0.02,
+        "positional_embedding": jax.random.normal(
+            t_keys[1], (dims.n_text_ctx, dims.n_text_state), _F32
+        )
+        * 0.01,
+        "blocks": [
+            _init_block(t_keys[2 + i], dims.n_text_state, cross=True)
+            for i in range(dims.n_text_layer)
+        ],
+        "ln": _init_ln(dims.n_text_state),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def resize_token_embeddings(
+    params: Params, dims: ModelDimensions, new_vocab_size: int, key: jax.Array
+) -> Tuple[Params, ModelDimensions]:
+    """Grow the (tied) token embedding to fit spliced disease tokens.
+
+    New rows ~ N(0, std(existing rows)) — matching the *live* (second)
+    definition in the reference (model.py:346-378; the first at :299 is dead
+    code shadowed by it).
+    """
+    old = params["decoder"]["token_embedding"]
+    cur = old.shape[0]
+    if new_vocab_size == cur:
+        return params, dims
+    assert new_vocab_size > cur
+    std = jnp.std(old)
+    new_rows = jax.random.normal(key, (new_vocab_size - cur, old.shape[1]), _F32) * std
+    new_embed = jnp.concatenate([old, new_rows], axis=0)
+    params = dict(params)
+    params["decoder"] = dict(params["decoder"])
+    params["decoder"]["token_embedding"] = new_embed
+    return params, dims.replace(n_vocab=new_vocab_size)
+
+
+def default_alignment_heads(dims: ModelDimensions) -> np.ndarray:
+    """Bool (n_text_layer, n_text_head): last half of decoder layers
+    (reference model.py:270-276)."""
+    heads = np.zeros((dims.n_text_layer, dims.n_text_head), dtype=bool)
+    heads[dims.n_text_layer // 2 :] = True
+    return heads
+
+
+def decode_alignment_heads_dump(dims: ModelDimensions, dump: bytes) -> np.ndarray:
+    """Decode the base85/gzip alignment-head masks shipped with checkpoints
+    (reference model.py:278-285)."""
+    import base64 as b64
+    import gzip
+
+    array = np.frombuffer(gzip.decompress(b64.b85decode(dump)), dtype=bool).copy()
+    return array.reshape(dims.n_text_layer, dims.n_text_head)
