@@ -1,0 +1,683 @@
+"""Decoding engine: 30-second-window inference, fully inside XLA.
+
+Behavioral parity with reference `whisper/decoding.py` (DecodingTask :508,
+GreedyDecoder :272, logit filters :423-505, detect_language :18), re-designed
+for TPU:
+
+* The reference's per-step Python loop with stateful LogitFilter objects and
+  hook-based KV caching (`decoding.py:680-710`) becomes ONE compiled XLA
+  program: prompt prefill + a `lax.while_loop` over decode steps with a
+  static-shape KV cache. No host round-trips inside a window.
+* Logit filters (SuppressBlank/SuppressTokens/ApplyTimestampRules) are
+  vectorized masks over (batch, vocab). The timestamp-rule state that the
+  reference recomputes by re-scanning token history each step
+  (`decoding.py:458-484`) is carried in the loop state instead: last/penult
+  sampled token and the running last-timestamp.
+* Prompts of varying length are right-padded into a small set of static
+  buckets so XLA compiles a handful of programs, with the true length as a
+  traced scalar (junk KV slots are overwritten before they become visible —
+  see tests/test_model_parity.py::test_prefill_with_right_padding_is_safe).
+* Temperature is a traced scalar: one compiled program serves the whole
+  temperature-fallback ladder (`transcribe.py:184-224` in the reference).
+
+Beam search lives in :mod:`asr_ttl_mtl_tpu.beam`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import lru_cache
+from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import CHUNK_LENGTH
+from .tokenizer import Tokenizer, get_tokenizer
+from .utils import compression_ratio
+
+if TYPE_CHECKING:
+    from .models.registry import WhisperModel
+
+_F32 = jnp.float32
+_NEG = jnp.asarray(-1e9, _F32)  # effective -inf that keeps softmax finite
+
+_PROMPT_BUCKETS = (8, 16, 32, 64, 128, 256)
+
+
+def _bucket(n: int) -> int:
+    for b in _PROMPT_BUCKETS:
+        if n <= b:
+            return b
+    return _PROMPT_BUCKETS[-1]
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    """Mirror of the reference options (`decoding.py:80-114`)."""
+
+    task: str = "transcribe"
+    language: Optional[str] = None
+
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+
+    length_penalty: Optional[float] = None
+
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+
+    suppress_tokens: Optional[Union[str, Iterable[int]]] = "-1"
+    suppress_blank: bool = True
+
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+    # fp16 in the reference; here it selects the model's fast compute dtype
+    # (bf16 on TPU) vs full fp32
+    fp16: bool = True
+
+
+@dataclass(frozen=True)
+class DecodingResult:
+    audio_features: Optional[np.ndarray]
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+# ---------------------------------------------------------------------------
+# vectorized logit filters
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Static per-task filter configuration (hashable: participates in jit
+    specialization)."""
+
+    n_vocab: int
+    eot: int
+    timestamp_begin: int
+    no_timestamps: int
+    blank_tokens: Tuple[int, ...]  # tokens suppressed at sample start
+    suppress_tokens: Tuple[int, ...]
+    suppress_blank: bool
+    apply_timestamp_rules: bool
+    max_initial_timestamp_index: int  # -1 = unlimited
+
+
+def _apply_filters(
+    cfg: FilterConfig,
+    logits: jnp.ndarray,  # (B, V) fp32
+    step: jnp.ndarray,  # scalar int: number of sampled tokens so far
+    prev_tok: jnp.ndarray,  # (B,) last sampled token (-1 before any)
+    penult_tok: jnp.ndarray,  # (B,) second-to-last sampled token (-1)
+    last_ts: jnp.ndarray,  # (B,) last sampled timestamp token (-1 if none)
+) -> jnp.ndarray:
+    """All reference logit filters as one vectorized masking pass."""
+    V = cfg.n_vocab
+    vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+
+    # SuppressBlank (reference decoding.py:423-430): at the first sampled
+    # position, suppress " " and EOT.
+    if cfg.suppress_blank:
+        blank = np.zeros((V,), np.float32)
+        blank[list(cfg.blank_tokens)] = 1.0
+        logits = jnp.where(
+            (step == 0) & (jnp.asarray(blank)[None, :] > 0), _NEG, logits
+        )
+
+    # SuppressTokens (reference decoding.py:433-438): static list.
+    if cfg.suppress_tokens:
+        sup = np.zeros((V,), np.float32)
+        sup[list(cfg.suppress_tokens)] = 1.0
+        logits = jnp.where(jnp.asarray(sup)[None, :] > 0, _NEG, logits)
+
+    if cfg.apply_timestamp_rules:
+        ts_begin = cfg.timestamp_begin
+        # <|notimestamps|> is never sampled here (decoding.py:453-455)
+        logits = jnp.where(vocab_ids == cfg.no_timestamps, _NEG, logits)
+
+        last_was_ts = (step >= 1) & (prev_tok >= ts_begin)  # (B,)
+        penult_was_ts = (step < 2) | (penult_tok >= ts_begin)
+
+        # timestamps come in pairs (decoding.py:468-472)
+        force_non_ts = (last_was_ts & penult_was_ts)[:, None]  # must be text
+        force_ts_or_eot = (last_was_ts & ~penult_was_ts)[:, None]
+        logits = jnp.where(force_non_ts & (vocab_ids >= ts_begin), _NEG, logits)
+        logits = jnp.where(force_ts_or_eot & (vocab_ids < cfg.eot), _NEG, logits)
+
+        # non-decreasing timestamps (decoding.py:474-484)
+        has_ts = last_ts >= 0
+        ts_floor = jnp.where(
+            last_was_ts & ~penult_was_ts, last_ts, last_ts + 1
+        )  # (B,)
+        ts_mask = (
+            has_ts[:, None]
+            & (vocab_ids >= ts_begin)
+            & (vocab_ids < ts_floor[:, None])
+        )
+        logits = jnp.where(ts_mask, _NEG, logits)
+
+        # at the very first sample: force a timestamp, optionally capped
+        # (decoding.py:486-495)
+        at_begin = step == 0
+        logits = jnp.where(at_begin & (vocab_ids < ts_begin), _NEG, logits)
+        if cfg.max_initial_timestamp_index >= 0:
+            last_allowed = ts_begin + cfg.max_initial_timestamp_index
+            logits = jnp.where(at_begin & (vocab_ids > last_allowed), _NEG, logits)
+
+        # if total timestamp probability beats every text token, sample a
+        # timestamp (decoding.py:497-505)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ts_logprob = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
+        max_text = jnp.max(logprobs[:, :ts_begin], axis=-1)
+        force_ts = (ts_logprob > max_text)[:, None]
+        logits = jnp.where(force_ts & (vocab_ids < ts_begin), _NEG, logits)
+
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# jitted greedy main loop
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
+    """Compile-once greedy window decode: prefill + while_loop of steps.
+
+    Returns fn(params, cross_kv, initial_tokens (B, bucket) int32,
+    valid_len scalar, sot_index scalar, no_speech_token scalar (-1: skip),
+    temperature scalar, rng) -> (tokens_buf (B, bucket+sample_len),
+    sum_logprobs (B,), no_speech_probs (B,), n_sampled scalar)
+    """
+    from .models import whisper as W
+
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    buf_len = bucket + sample_len
+
+    def run(params, cross_kv, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng):
+        B = initial_tokens.shape[0]
+        cache = W.init_kv_cache(dims, B, compute_dtype)
+
+        prefill_logits, cache, _ = W.decoder_apply(
+            params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
+            pos_offset=0, compute_dtype=compute_dtype,
+        )  # (B, bucket, V) fp32
+
+        # no-speech probability from the SOT position of the first forward
+        # pass (reference decoding.py:689-693)
+        probs_at_sot = jax.nn.softmax(
+            jnp.take_along_axis(
+                prefill_logits, sot_index[None, None, None].astype(jnp.int32), axis=1
+            )[:, 0],
+            axis=-1,
+        )
+        no_speech_probs = jnp.where(
+            no_speech_token >= 0,
+            probs_at_sot[:, jnp.maximum(no_speech_token, 0)],
+            jnp.nan,
+        )
+
+        first_logits = jnp.take_along_axis(
+            prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+
+        tokens_buf = jnp.concatenate(
+            [initial_tokens, jnp.full((B, sample_len), cfg.eot, jnp.int32)], axis=1
+        )
+
+        state = dict(
+            i=jnp.asarray(0, jnp.int32),
+            logits=first_logits,
+            cache=cache,
+            buf=tokens_buf,
+            sum_lp=jnp.zeros((B,), _F32),
+            prev=jnp.full((B,), -1, jnp.int32),
+            penult=jnp.full((B,), -1, jnp.int32),
+            last_ts=jnp.full((B,), -1, jnp.int32),
+            finished=jnp.zeros((B,), bool),
+            rng=rng,
+        )
+
+        def cond(s):
+            pos = valid_len + s["i"]
+            return (s["i"] < sample_len) & (~jnp.all(s["finished"])) & (pos < dims.n_text_ctx)
+
+        def body(s):
+            logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+            rng, sub = jax.random.split(s["rng"])
+            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            sampled_tok = jax.random.categorical(
+                sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32)
+            next_tok = jnp.where(temperature == 0.0, greedy_tok, sampled_tok)
+
+            cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+            # freeze finished rows: force EOT, stop accumulating logprob
+            # (reference GreedyDecoder.update, decoding.py:277-293)
+            sum_lp = s["sum_lp"] + jnp.where(s["finished"], 0.0, cur_lp)
+            next_tok = jnp.where(s["finished"], cfg.eot, next_tok)
+            finished = s["finished"] | (next_tok == cfg.eot)
+
+            pos = valid_len + s["i"]
+            buf = jax.lax.dynamic_update_slice(
+                s["buf"], next_tok[:, None], (0, pos)
+            )
+
+            is_ts = next_tok >= cfg.timestamp_begin
+            last_ts = jnp.where(is_ts & ~s["finished"], next_tok, s["last_ts"])
+
+            # the token we just emitted sits at absolute position `pos`; one
+            # decoder step at that position yields the next distribution
+            step_logits, cache, _ = W.decoder_apply(
+                params, dims, next_tok[:, None], cross_kv=cross_kv,
+                kv_cache=s["cache"], pos_offset=pos,
+                compute_dtype=compute_dtype,
+            )
+            return dict(
+                i=s["i"] + 1,
+                logits=step_logits[:, 0],
+                cache=cache,
+                buf=buf,
+                sum_lp=sum_lp,
+                prev=next_tok,
+                penult=s["prev"],
+                last_ts=last_ts,
+                finished=finished,
+                rng=rng,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final["buf"], final["sum_lp"], no_speech_probs, final["i"]
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# jitted encoder / single-pass helpers
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _build_encoder(dims, compute_dtype_name: str):
+    from .models import whisper as W
+
+    compute_dtype = jnp.dtype(compute_dtype_name)
+
+    def run(params, mel):
+        feats = W.encoder_apply(params, dims, mel, compute_dtype)
+        cross_kv = W.precompute_cross_kv(params, dims, feats)
+        return feats, cross_kv
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=32)
+def _build_single_token_logits(dims, compute_dtype_name: str):
+    """One decoder forward over a single token (for language detection)."""
+    from .models import whisper as W
+
+    compute_dtype = jnp.dtype(compute_dtype_name)
+
+    def run(params, tokens, feats):
+        logits, _, _ = W.decoder_apply(
+            params, dims, tokens, feats, compute_dtype=compute_dtype
+        )
+        return logits[:, 0]
+
+    return jax.jit(run)
+
+
+def detect_language(
+    model: "WhisperModel", mel: jnp.ndarray, tokenizer: Optional[Tokenizer] = None
+):
+    """Detect the spoken language (reference `decoding.py:18-77`).
+
+    Accepts either mel spectrograms (..., n_mels, 3000) or already-encoded
+    audio features (..., n_audio_ctx, n_audio_state).
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages)
+    if tokenizer.language is None or tokenizer.language_token not in tokenizer.sot_sequence:
+        raise ValueError("This model doesn't have language tokens so it can't perform lang id")
+
+    mel = jnp.asarray(mel)
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+
+    dtype_name = jnp.dtype(model.compute_dtype).name
+    if mel.shape[-2:] != (model.dims.n_audio_ctx, model.dims.n_audio_state):
+        feats, _ = _build_encoder(model.dims, dtype_name)(model.params, mel)
+    else:
+        feats = mel.astype(model.compute_dtype)
+
+    n_audio = feats.shape[0]
+    x = jnp.full((n_audio, 1), tokenizer.sot, jnp.int32)
+    logits = _build_single_token_logits(model.dims, dtype_name)(model.params, x, feats)
+
+    mask = np.full((logits.shape[-1],), True)
+    mask[list(tokenizer.all_language_tokens)] = False
+    logits = jnp.where(jnp.asarray(mask)[None, :], _NEG, logits)
+    language_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+    language_token_probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    language_probs = [
+        {
+            c: float(language_token_probs[i, j])
+            for j, c in zip(tokenizer.all_language_tokens, tokenizer.all_language_codes)
+        }
+        for i in range(n_audio)
+    ]
+    if single:
+        return int(language_tokens[0]), language_probs[0]
+    return language_tokens, language_probs
+
+
+# ---------------------------------------------------------------------------
+# sequence ranking (host-side; tiny)
+# ---------------------------------------------------------------------------
+
+
+class MaximumLikelihoodRanker:
+    """Pick the best candidate per audio using length-normalized logprob or
+    the Google NMT length penalty (reference decoding.py:190-213)."""
+
+    def __init__(self, length_penalty: Optional[float]):
+        self.length_penalty = length_penalty
+
+    def rank(self, tokens: List[List[List[int]]], sum_logprobs: List[List[float]]) -> List[int]:
+        def scores(logprobs, lengths):
+            result = []
+            for logprob, length in zip(logprobs, lengths):
+                if self.length_penalty is None:
+                    penalty = length
+                else:
+                    penalty = ((5 + length) / 6) ** self.length_penalty
+                result.append(logprob / penalty)
+            return result
+
+        lengths = [[len(t) for t in s] for s in tokens]
+        return [int(np.argmax(scores(p, l))) for p, l in zip(sum_logprobs, lengths)]
+
+
+# ---------------------------------------------------------------------------
+# the decoding task
+# ---------------------------------------------------------------------------
+
+
+class DecodingTask:
+    """Orchestrates one batched 30s-window decode (reference decoding.py:508).
+
+    Host code handles option plumbing and result assembly; all compute is in
+    the cached jitted programs above.
+    """
+
+    def __init__(self, model: "WhisperModel", options: DecodingOptions):
+        self.model = model
+
+        language = options.language or "en"
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=options.task,
+        )
+        self.tokenizer = tokenizer
+        self.options = self._verify_options(options)
+
+        self.n_group: int = options.beam_size or options.best_of or 1
+        self.n_ctx: int = model.dims.n_text_ctx
+        self.sample_len: int = options.sample_len or model.dims.n_text_ctx // 2
+
+        self.sot_sequence = tokenizer.sot_sequence
+        if self.options.without_timestamps:
+            self.sot_sequence = tokenizer.sot_sequence_including_notimestamps
+
+        self.initial_tokens: Tuple[int, ...] = self._get_initial_tokens()
+        self.sample_begin: int = len(self.initial_tokens)
+        self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
+
+        max_initial_timestamp_index = -1
+        if not options.without_timestamps and options.max_initial_timestamp:
+            precision = CHUNK_LENGTH / model.dims.n_audio_ctx  # 0.02 s
+            max_initial_timestamp_index = round(options.max_initial_timestamp / precision)
+
+        self.filter_cfg = FilterConfig(
+            n_vocab=model.dims.n_vocab,
+            eot=tokenizer.eot,
+            timestamp_begin=tokenizer.timestamp_begin,
+            no_timestamps=tokenizer.no_timestamps,
+            blank_tokens=tuple(tokenizer.encode(" ") + [tokenizer.eot]),
+            suppress_tokens=self._get_suppress_tokens(),
+            suppress_blank=bool(options.suppress_blank),
+            apply_timestamp_rules=not options.without_timestamps,
+            max_initial_timestamp_index=max_initial_timestamp_index,
+        )
+
+        self.compute_dtype = (
+            model.compute_dtype if options.fp16 else jnp.float32
+        )
+        self._dtype_name = jnp.dtype(self.compute_dtype).name
+
+    # --- option/initial-token plumbing (reference decoding.py:572-642) -----
+
+    def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
+        if options.temperature == 0 and options.best_of is not None:
+            raise ValueError("best_of with greedy sampling (T=0) is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
+        if options.length_penalty is not None and not (0 <= options.length_penalty <= 1):
+            raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        return options
+
+    def _get_initial_tokens(self) -> Tuple[int, ...]:
+        tokens = list(self.sot_sequence)
+
+        if prefix := self.options.prefix:
+            prefix_tokens = (
+                self.tokenizer.encode(" " + prefix.strip())
+                if isinstance(prefix, str)
+                else list(prefix)
+            )
+            if self.sample_len is not None:
+                max_prefix_len = self.n_ctx // 2 - self.sample_len
+                prefix_tokens = prefix_tokens[-max_prefix_len:]
+            tokens = tokens + prefix_tokens
+
+        if prompt := self.options.prompt:
+            prompt_tokens = (
+                self.tokenizer.encode(" " + prompt.strip())
+                if isinstance(prompt, str)
+                else list(prompt)
+            )
+            tokens = (
+                [self.tokenizer.sot_prev]
+                + prompt_tokens[-(self.n_ctx // 2 - 1):]
+                + tokens
+            )
+
+        return tuple(tokens)
+
+    def _get_suppress_tokens(self) -> Tuple[int, ...]:
+        suppress_tokens = self.options.suppress_tokens
+        if isinstance(suppress_tokens, str):
+            suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+        if suppress_tokens is None:
+            suppress_tokens = []
+        else:
+            suppress_tokens = list(suppress_tokens)
+        if -1 in suppress_tokens:
+            suppress_tokens = [t for t in suppress_tokens if t >= 0]
+            suppress_tokens.extend(self.tokenizer.non_speech_tokens)
+
+        suppress_tokens.extend(
+            [
+                self.tokenizer.transcribe,
+                self.tokenizer.translate,
+                self.tokenizer.sot,
+                self.tokenizer.sot_prev,
+                self.tokenizer.sot_lm,
+            ]
+        )
+        if self.tokenizer.no_speech is not None:
+            suppress_tokens.append(self.tokenizer.no_speech)
+        return tuple(sorted(set(suppress_tokens)))
+
+    # --- run ----------------------------------------------------------------
+
+    def _encode_audio(self, mel: jnp.ndarray):
+        if mel.shape[-2:] == (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state):
+            feats = mel.astype(self.compute_dtype)
+            from .models import whisper as W
+
+            cross_kv = jax.jit(
+                lambda p, f: W.precompute_cross_kv(p, self.model.dims, f)
+            )(self.model.params, feats)
+            return feats, cross_kv
+        return _build_encoder(self.model.dims, self._dtype_name)(self.model.params, mel)
+
+    def run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
+        tokenizer = self.tokenizer
+        mel = jnp.asarray(mel)
+        n_audio = mel.shape[0]
+
+        feats, cross_kv = self._encode_audio(mel)
+
+        # language detection, writing detected tokens into the prompt
+        # (reference decoding.py:666-678)
+        initial = np.tile(np.asarray(self.initial_tokens, np.int32), (n_audio, 1))
+        languages = [self.options.language] * n_audio
+        language_probs = None
+        if self.options.language is None or self.options.task == "lang_id":
+            lang_tokens, language_probs = detect_language(self.model, feats, tokenizer)
+            languages = [max(probs, key=probs.get) for probs in language_probs]
+            if self.options.language is None:
+                initial[:, self.sot_index + 1] = np.asarray(lang_tokens)
+
+        if self.options.task == "lang_id":
+            feats_np = np.asarray(feats)
+            return [
+                DecodingResult(audio_features=feats_np[i], language=languages[i],
+                               language_probs=language_probs[i])
+                for i in range(n_audio)
+            ]
+
+        if self.options.beam_size is not None:
+            from .beam import run_beam_search
+
+            tokens, sum_logprobs, no_speech_probs = run_beam_search(self, feats, cross_kv, initial)
+        else:
+            tokens, sum_logprobs, no_speech_probs = self._run_greedy(
+                feats, cross_kv, initial, rng_seed
+            )
+
+        # rank within each group and assemble results (decoding.py:739-789)
+        selected = MaximumLikelihoodRanker(self.options.length_penalty).rank(
+            tokens, sum_logprobs
+        )
+        final_tokens: List[List[int]] = [t[i] for i, t in zip(selected, tokens)]
+        texts = [tokenizer.decode(t).strip() for t in final_tokens]
+        final_sum_lp = [lp[i] for i, lp in zip(selected, sum_logprobs)]
+        avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(final_tokens, final_sum_lp)]
+
+        feats_np = np.asarray(feats)
+        return [
+            DecodingResult(
+                audio_features=feats_np[i],
+                language=languages[i],
+                tokens=final_tokens[i],
+                text=texts[i],
+                avg_logprob=avg_logprobs[i],
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=self.options.temperature,
+                compression_ratio=compression_ratio(texts[i]),
+            )
+            for i in range(n_audio)
+        ]
+
+    def _run_greedy(self, feats, cross_kv, initial: np.ndarray, rng_seed: int):
+        n_audio = initial.shape[0]
+        n_group = self.n_group
+        if n_group > 1:  # best-of-N sampling: replicate rows
+            initial = np.repeat(initial, n_group, axis=0)
+            cross_kv = jax.tree.map(
+                lambda x: jnp.repeat(x, n_group, axis=1), cross_kv
+            )
+
+        valid_len = initial.shape[1]
+        bucket = _bucket(valid_len)
+        padded = np.full((initial.shape[0], bucket), self.tokenizer.eot, np.int32)
+        padded[:, :valid_len] = initial
+
+        sample_len = min(self.sample_len, self.n_ctx)
+        loop = _build_greedy_loop(
+            self.model.dims, self.filter_cfg, bucket, sample_len, self._dtype_name
+        )
+        no_speech = self.tokenizer.no_speech if self.tokenizer.no_speech is not None else -1
+        buf, sum_lp, ns_probs, n_sampled = loop(
+            self.model.params,
+            cross_kv,
+            jnp.asarray(padded),
+            jnp.asarray(valid_len, jnp.int32),
+            jnp.asarray(self.sot_index, jnp.int32),
+            jnp.asarray(no_speech, jnp.int32),
+            jnp.asarray(self.options.temperature, jnp.float32),
+            jax.random.PRNGKey(rng_seed),
+        )
+        buf = np.asarray(buf)
+        sum_lp = np.asarray(sum_lp)
+        ns_probs = np.asarray(ns_probs)
+        n_sampled = int(n_sampled)
+
+        # slice sampled region and cut at first EOT (decoding.py:749-752)
+        tokens: List[List[List[int]]] = []
+        sum_logprobs: List[List[float]] = []
+        for a in range(n_audio):
+            group_toks, group_lps = [], []
+            for g in range(n_group):
+                row = buf[a * n_group + g, valid_len : valid_len + n_sampled]
+                eots = np.nonzero(row == self.tokenizer.eot)[0]
+                end = int(eots[0]) if len(eots) else len(row)
+                group_toks.append([int(t) for t in row[:end]])
+                group_lps.append(float(sum_lp[a * n_group + g]))
+            tokens.append(group_toks)
+            sum_logprobs.append(group_lps)
+        no_speech_probs = ns_probs.reshape(n_audio, n_group)[:, 0]
+        return tokens, sum_logprobs, no_speech_probs
+
+
+def decode(
+    model: "WhisperModel",
+    mel: jnp.ndarray,
+    options: Optional[DecodingOptions] = None,
+    **kwargs,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Decode 30-second audio segment(s) given as mel spectrogram(s)
+    (reference decoding.py:792-826)."""
+    if options is None:
+        options = DecodingOptions()
+    mel = jnp.asarray(mel)
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+    if kwargs:
+        options = replace(options, **kwargs)
+
+    result = DecodingTask(model, options).run(mel)
+    return result[0] if single else result

@@ -1,0 +1,203 @@
+"""Decoding-engine parity vs the reference implementation.
+
+Two layers of testing:
+1. logit-filter parity: our vectorized `_apply_filters` vs the reference
+   SuppressBlank/SuppressTokens/ApplyTimestampRules classes on random logits
+   and synthetic token histories.
+2. end-to-end greedy decode parity on a shared random-weight model: token
+   sequences, text, avg_logprob, no_speech_prob must match.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import import_reference_whisper, reference_available
+
+from asr_ttl_mtl_tpu import decoding as D
+from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+from asr_ttl_mtl_tpu.models.registry import WhisperModel, convert_torch_state_dict
+from asr_ttl_mtl_tpu.tokenizer import get_tokenizer
+
+if not reference_available():
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+import_reference_whisper()
+
+# english-only vocab so both stacks pick the gpt2 tokenizer (the reference
+# derives num_languages from n_vocab)
+DIMS = ModelDimensions(
+    n_mels=80,
+    n_audio_ctx=96,
+    n_audio_state=64,
+    n_audio_head=4,
+    n_audio_layer=2,
+    n_vocab=51864,
+    n_text_ctx=96,
+    n_text_state=64,
+    n_text_head=4,
+    n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    import torch
+    from whisper.model import ModelDimensions as RefDims, Whisper as RefWhisper
+
+    torch.manual_seed(7)
+    ref = RefWhisper(RefDims(**DIMS.__dict__)).eval()
+    # the reference leaves positional_embedding as torch.empty (uninitialized
+    # memory, normally overwritten by checkpoint load) — initialize it
+    with torch.no_grad():
+        ref.decoder.positional_embedding.normal_(0, 0.02)
+    params = convert_torch_state_dict(DIMS, ref.state_dict())
+    ours = WhisperModel(dims=DIMS, params=params, compute_dtype=jnp.float32)
+    return ref, ours
+
+
+def _mel(batch=1, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(batch, DIMS.n_mels, DIMS.n_audio_ctx * 2) * 0.5).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# 1. filter parity
+# ---------------------------------------------------------------------------
+
+
+def _ref_filters(tokenizer, cfg, logits_np, tokens_np, sample_begin):
+    import torch
+    from whisper.decoding import ApplyTimestampRules, SuppressBlank, SuppressTokens
+
+    logits = torch.from_numpy(logits_np.copy())
+    tokens = torch.from_numpy(tokens_np)
+    filters = []
+    if cfg.suppress_blank:
+        filters.append(SuppressBlank(tokenizer, sample_begin))
+    if cfg.suppress_tokens:
+        filters.append(SuppressTokens(list(cfg.suppress_tokens)))
+    if cfg.apply_timestamp_rules:
+        mit = cfg.max_initial_timestamp_index if cfg.max_initial_timestamp_index >= 0 else None
+        filters.append(ApplyTimestampRules(tokenizer, sample_begin, mit))
+    for f in filters:
+        f.apply(logits, tokens)
+    return logits.numpy()
+
+
+@pytest.mark.parametrize("history", ["empty", "text", "ts_open", "ts_pair", "long_mixed"])
+def test_filter_parity(history):
+    tok = get_tokenizer(False)  # gpt2 layout
+    ts = tok.timestamp_begin
+    sample_begin = 1
+    base = [tok.sot]
+    histories = {
+        "empty": [],
+        "text": [100, 200],
+        "ts_open": [ts + 3, 50, 60],        # open segment: ts then text
+        "ts_pair": [ts + 3, 50, ts + 7],    # last token is a closing ts
+        "long_mixed": [ts + 0, 11, 12, ts + 5, ts + 5, 90, ts + 9],
+    }
+    sampled = histories[history]
+    tokens_np = np.asarray([base + sampled], dtype=np.int64)
+
+    cfg = D.FilterConfig(
+        n_vocab=DIMS.n_vocab,
+        eot=tok.eot,
+        timestamp_begin=ts,
+        no_timestamps=tok.no_timestamps,
+        blank_tokens=tuple(tok.encode(" ") + [tok.eot]),
+        suppress_tokens=tuple(sorted({tok.transcribe, tok.translate, tok.sot,
+                                      tok.sot_prev, tok.sot_lm, tok.no_speech}
+                                     | set(tok.non_speech_tokens))),
+        suppress_blank=True,
+        apply_timestamp_rules=True,
+        max_initial_timestamp_index=50,
+    )
+
+    rng = np.random.RandomState(hash(history) % 2**31)
+    logits_np = rng.randn(1, DIMS.n_vocab).astype(np.float32)
+
+    ref = _ref_filters(tok, cfg, logits_np, tokens_np, sample_begin)
+
+    step = len(sampled)
+    prev = sampled[-1] if step >= 1 else -1
+    penult = sampled[-2] if step >= 2 else -1
+    ts_list = [t for t in sampled if t >= ts]
+    last_ts = ts_list[-1] if ts_list else -1
+    ours = np.asarray(
+        D._apply_filters(
+            cfg,
+            jnp.asarray(logits_np),
+            jnp.asarray(step),
+            jnp.asarray([prev]),
+            jnp.asarray([penult]),
+            jnp.asarray([last_ts]),
+        )
+    )
+
+    ref_masked = ~np.isfinite(ref) | (ref <= -1e8)
+    ours_masked = ours <= -1e8
+    np.testing.assert_array_equal(ours_masked, ref_masked)
+    np.testing.assert_allclose(
+        np.where(ours_masked, 0.0, ours), np.where(ref_masked, 0.0, ref), atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. end-to-end greedy parity
+# ---------------------------------------------------------------------------
+
+
+def _ref_decode(ref_model, mel, **opts):
+    import torch
+    from whisper.decoding import DecodingOptions as RefOpts, decode as ref_decode
+
+    with torch.no_grad():
+        return ref_decode(ref_model, torch.from_numpy(mel), RefOpts(fp16=False, **opts))
+
+
+@pytest.mark.parametrize("without_timestamps", [False, True])
+def test_greedy_decode_parity(models, without_timestamps):
+    ref_model, our_model = models
+    mel = _mel()
+    ref = _ref_decode(ref_model, mel[0], language="en", without_timestamps=without_timestamps)
+    ours = D.decode(
+        our_model, mel[0], D.DecodingOptions(fp16=False, language="en", without_timestamps=without_timestamps)
+    )
+    assert ours.tokens == ref.tokens
+    assert ours.text == ref.text
+    np.testing.assert_allclose(ours.avg_logprob, ref.avg_logprob, atol=1e-3)
+    np.testing.assert_allclose(ours.no_speech_prob, ref.no_speech_prob, atol=1e-4)
+    assert ours.language == ref.language
+
+
+def test_greedy_decode_batched_matches_reference(models):
+    ref_model, our_model = models
+    mel = _mel(batch=3, seed=4)
+    refs = _ref_decode(ref_model, mel, language="en")
+    ours = D.decode(our_model, mel, D.DecodingOptions(fp16=False, language="en"))
+    for r, o in zip(refs, ours):
+        assert o.tokens == r.tokens
+        np.testing.assert_allclose(o.avg_logprob, r.avg_logprob, atol=1e-3)
+
+
+def test_greedy_decode_with_prompt_parity(models):
+    ref_model, our_model = models
+    mel = _mel(seed=9)
+    prompt = list(np.random.RandomState(0).randint(0, 40000, size=5))
+    ref = _ref_decode(ref_model, mel[0], language="en", prompt=prompt)
+    ours = D.decode(our_model, mel[0], D.DecodingOptions(fp16=False, language="en", prompt=prompt))
+    assert ours.tokens == ref.tokens
+
+
+def test_sampling_runs_and_terminates(models):
+    _, our_model = models
+    mel = _mel(seed=5)
+    res = D.decode(
+        our_model, mel[0], D.DecodingOptions(fp16=False, language="en", temperature=0.8, best_of=3)
+    )
+    assert isinstance(res.tokens, list)
+    assert res.temperature == 0.8
+    assert np.isfinite(res.avg_logprob)

@@ -41,6 +41,9 @@ def torch_ref():
 
     torch.manual_seed(0)
     model = RefWhisper(RefDims(**SMALL.__dict__)).eval()
+    # positional_embedding is torch.empty in the reference; initialize it
+    with torch.no_grad():
+        model.decoder.positional_embedding.normal_(0, 0.02)
     return model
 
 
