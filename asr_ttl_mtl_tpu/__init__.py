@@ -12,3 +12,7 @@ __version__ = "0.1.0"
 
 from . import audio  # noqa: F401
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim  # noqa: F401
+from .decoding import DecodingOptions, DecodingResult, decode, detect_language  # noqa: F401
+from .models import ModelDimensions, WhisperModel, available_models, load_model  # noqa: F401
+from .models.registry import from_random  # noqa: F401
+from .transcribe import transcribe, transcribe_batch  # noqa: F401

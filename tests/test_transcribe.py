@@ -1,0 +1,160 @@
+"""Long-form transcribe pipeline parity + writers golden tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import import_reference_whisper, reference_available
+
+from asr_ttl_mtl_tpu.models.dims import PRESET_DIMS
+from asr_ttl_mtl_tpu.models.registry import WhisperModel, convert_torch_state_dict
+from asr_ttl_mtl_tpu.transcribe import transcribe, transcribe_batch
+
+if not reference_available():
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+import_reference_whisper()
+
+
+@pytest.fixture(scope="module")
+def models():
+    """Random-weight tiny.en-architecture pair (full 1500-frame window so the
+    reference transcribe() path runs unmodified)."""
+    import torch
+    from whisper.model import ModelDimensions as RefDims, Whisper as RefWhisper
+
+    dims = PRESET_DIMS["tiny.en"].replace(n_audio_layer=2, n_text_layer=2)
+    torch.manual_seed(3)
+    ref = RefWhisper(RefDims(**dims.__dict__)).eval()
+    with torch.no_grad():
+        ref.decoder.positional_embedding.normal_(0, 0.02)
+    params = convert_torch_state_dict(dims, ref.state_dict())
+    ours = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+    return ref, ours
+
+
+@pytest.fixture(scope="module")
+def wave():
+    rng = np.random.RandomState(11)
+    return (rng.randn(2 * 16000) * 0.1).astype(np.float32)  # 2 s of noise
+
+
+def test_transcribe_parity_without_timestamps(models, wave):
+    ref_model, our_model = models
+    common = dict(
+        without_timestamps=True,
+        sample_len=20,
+        temperature=0.0,
+        fp16=False,
+        condition_on_previous_text=True,
+        verbose=None,
+    )
+    ref = ref_model.transcribe(wave, **common)
+    ours = transcribe(our_model, wave, **common)
+    assert ours["language"] == ref["language"] == "en"
+    assert ours["text"] == ref["text"]
+    assert len(ours["segments"]) == len(ref["segments"])
+    for so, sr in zip(ours["segments"], ref["segments"]):
+        assert so["tokens"] == sr["tokens"]
+        assert so["start"] == sr["start"] and so["end"] == sr["end"]
+        np.testing.assert_allclose(so["avg_logprob"], sr["avg_logprob"], atol=1e-3)
+        np.testing.assert_allclose(so["no_speech_prob"], sr["no_speech_prob"], atol=1e-4)
+
+
+def test_transcribe_with_timestamp_rules_runs(models, wave):
+    """Timestamp-rule path: just require termination + well-formed segments
+    (free-running ts behavior on random weights is numerically fragile)."""
+    _, our_model = models
+    out = transcribe(our_model, wave, sample_len=16, fp16=False, verbose=None)
+    assert isinstance(out["segments"], list)
+    for seg in out["segments"]:
+        assert seg["end"] >= seg["start"]
+
+
+def test_transcribe_batch(models, wave):
+    _, our_model = models
+    outs = transcribe_batch(
+        our_model, [wave, wave], batch_size=2, without_timestamps=True, sample_len=12,
+        fp16=False,
+    )
+    assert len(outs) == 2
+    assert outs[0]["text"] == outs[1]["text"]
+    assert len(outs[0]["segments"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+
+def _fake_result():
+    return {
+        "text": " hello world this is a test",
+        "language": "en",
+        "segments": [
+            {
+                "id": 0,
+                "seek": 0,
+                "start": 0.0,
+                "end": 2.5,
+                "text": " hello world",
+                "tokens": [1, 2],
+                "temperature": 0.0,
+                "avg_logprob": -0.1,
+                "compression_ratio": 1.0,
+                "no_speech_prob": 0.01,
+                "words": [
+                    {"word": " hello", "start": 0.0, "end": 1.0, "probability": 0.9},
+                    {"word": " world", "start": 1.2, "end": 2.5, "probability": 0.8},
+                ],
+            },
+            {
+                "id": 1,
+                "seek": 0,
+                "start": 3.0,
+                "end": 6.0,
+                "text": " this is a test",
+                "tokens": [3, 4, 5, 6],
+                "temperature": 0.0,
+                "avg_logprob": -0.2,
+                "compression_ratio": 1.1,
+                "no_speech_prob": 0.02,
+                "words": [
+                    {"word": " this", "start": 3.0, "end": 3.5, "probability": 0.9},
+                    {"word": " is", "start": 3.5, "end": 4.0, "probability": 0.9},
+                    {"word": " a", "start": 4.0, "end": 4.2, "probability": 0.9},
+                    {"word": " test", "start": 4.2, "end": 6.0, "probability": 0.9},
+                ],
+            },
+        ],
+    }
+
+
+@pytest.mark.parametrize("fmt", ["txt", "vtt", "srt", "tsv", "json"])
+@pytest.mark.parametrize(
+    "writer_args",
+    [
+        {},
+        {"highlight_words": True},
+        {"max_line_width": 10, "max_line_count": 2},
+        {"max_words_per_line": 2},
+    ],
+)
+def test_writer_parity(tmp_path, fmt, writer_args):
+    from whisper.utils import get_writer as ref_get_writer
+
+    from asr_ttl_mtl_tpu.utils.writers import get_writer
+
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+
+    result = _fake_result()
+    ref_get_writer(fmt, str(ref_dir))(dict(result), "audio.wav", **writer_args)
+    get_writer(fmt, str(our_dir))(dict(result), "audio.wav", **writer_args)
+
+    ref_out = (ref_dir / f"audio.{fmt}").read_text()
+    our_out = (our_dir / f"audio.{fmt}").read_text()
+    assert our_out == ref_out
