@@ -1,0 +1,76 @@
+"""Training configuration for the multi-task (ASR + disorder) fine-tune.
+
+Field parity with reference `speech_disorder/config.py:5-54`, extended with
+TPU-native knobs (mesh shape, token-padding buckets, compute dtype, input
+pipeline workers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclass
+class TrainingConfig:
+    # model
+    model_size: str = "tiny"
+    device: str = "auto"  # "auto" | "tpu" | "cpu" (jax platform)
+
+    mode: str = "multi_task"
+
+    # training hyperparameters (reference defaults)
+    epochs: int = 50
+    batch_size: int = 16
+    val_batch_size: int = 8
+    learning_rate: float = 1e-5
+
+    # multi-task loss weights; 0.0 means "dynamic": inverse-loss-normalized
+    # weights computed once on the first batch, then frozen (replicates the
+    # reference's observed behavior — SURVEY.md §5 quirk 2). Set
+    # true_dynamic_weights=True for per-step re-weighting instead.
+    alpha: float = 0.0
+    beta: float = 0.0
+    true_dynamic_weights: bool = False
+
+    weight_decay: float = 0.01
+    gradient_clip_norm: float = 1.0
+    early_stopping_patience: int = 10
+
+    # dataset paths (reference CSV schema: file,text,class)
+    train_csv: str = "../data/custom_train.csv"
+    val_csv: str = "../data/custom_val.csv"
+    test_csv: str = "../data/custom_test.csv"
+
+    freeze_encoder: bool = False
+    save_dir: Optional[str] = None
+
+    class_to_disease: Dict[int, str] = field(
+        default_factory=lambda: {0: "normal", 1: "dysphonia", 2: "dysarthria"}
+    )
+    disease_tokens: List[str] = field(
+        default_factory=lambda: ["normal", "dysphonia", "dysarthria"]
+    )
+
+    # --- TPU-native additions ---
+    # where to find pretrained weights; None = registry download / cache.
+    # "random" initializes randomly (tests / offline smoke runs).
+    pretrained: Optional[str] = None
+    compute_dtype: str = "bfloat16"  # forward/backward compute dtype on TPU
+    # token sequences are padded up to one of these bucket lengths so XLA
+    # compiles a handful of shapes instead of one per batch max-length
+    token_buckets: Tuple[int, ...] = (48, 64, 96, 128, 192, 448)
+    # device mesh: (data, model) axis sizes; data*model must divide devices
+    mesh_shape: Tuple[int, int] = (0, 1)  # 0 = all remaining devices on dp
+    num_workers: int = 8  # host-side audio decode threads
+    mel_on_device: bool = True  # fuse log-mel into the jitted train step
+    seed: int = 0
+    # override architecture dims (dict of ModelDimensions fields) — used with
+    # pretrained="random" for fast smoke tests on scaled-down models
+    debug_dims: Optional[Dict[str, int]] = None
+    # samples per training window (480000 = whisper's 30 s; smaller values
+    # pair with debug_dims whose n_audio_ctx = audio_samples / 320)
+    audio_samples: int = 480000
+
+
+DISORDER_TYPE = {0: "Normal", 1: "Dysphonia", 2: "Dysarthria"}

@@ -1,0 +1,210 @@
+"""Multi-task dataset + host input pipeline.
+
+Functional parity with reference `speech_disorder/dataset.py:30-219`
+(CSV schema `file,text,class`, disease-token target sequences, EOT/-100
+padding, zero-audio fallback on decode errors), re-designed TPU-first:
+
+* Items carry the *raw 30 s waveform*; the log-mel transform runs batched on
+  device inside the jitted train step (the reference runs a torch-CPU STFT
+  per sample in DataLoader workers, dataset.py:85-89 — host FLOPs and extra
+  H2D bytes for no reason).
+* Token sequences are padded to a small set of bucket lengths so the train
+  step compiles once per bucket instead of once per batch max-length.
+* The loader is a thread-pooled prefetcher (no subprocess-per-sample ffmpeg,
+  no torch DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..audio import N_SAMPLES, load_audio, pad_or_trim
+from ..tokenizer import Tokenizer, get_tokenizer
+from .config import TrainingConfig
+
+
+def build_mtl_tokenizer(model_size: str) -> Tokenizer:
+    """Disease-enabled tokenizer matching the model family
+    (reference dataset.py:38-54)."""
+    if ".en" in model_size:
+        return get_tokenizer(multilingual=False, include_diseases=True)
+    return get_tokenizer(
+        multilingual=True, language="en", task="transcribe", include_diseases=True
+    )
+
+
+class MultiTaskSpeechDataset:
+    """CSV-driven dataset of (waveform, disease-conditioned token sequence)."""
+
+    def __init__(self, csv_file: str, config: TrainingConfig, tokenizer: Optional[Tokenizer] = None):
+        import pandas as pd
+
+        self.df = pd.read_csv(csv_file)
+        self.config = config
+        self.is_english_only = ".en" in getattr(config, "model_size", "")
+        self.tokenizer = tokenizer or build_mtl_tokenizer(config.model_size)
+        self.disease_mapping = config.class_to_disease
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def get_disease_token_id(self, class_id: int) -> int:
+        disease_name = self.disease_mapping.get(class_id, "normal")
+        return self.tokenizer.disease_tokens.get(disease_name, self.tokenizer.eot)
+
+    def create_sequence_with_disease_context(self, text: str, class_id: int) -> List[int]:
+        """Target sequence layout (reference dataset.py:103-130):
+        en-only      [SOT][DISEASE][text][EOT]
+        multilingual [SOT][<|en|>][DISEASE][<|transcribe|>][text][EOT]
+        """
+        tok = self.tokenizer
+        sequence = [tok.sot]
+        disease_token_id = self.get_disease_token_id(class_id)
+        if not self.is_english_only:
+            sequence.extend([tok.language_token, disease_token_id, tok.transcribe])
+        else:
+            sequence.append(disease_token_id)
+        sequence.extend(tok.encode(" " + str(text).strip()))
+        sequence.append(tok.eot)
+        return sequence
+
+    def _load_waveform(self, audio_path: str) -> np.ndarray:
+        n_samples = getattr(self.config, "audio_samples", N_SAMPLES)
+        try:
+            audio = load_audio(audio_path)
+            return pad_or_trim(audio, n_samples).astype(np.float32)
+        except Exception as e:  # zero-audio fallback (reference dataset.py:93-96)
+            print(f"Error loading audio {audio_path}: {e}")
+            return np.zeros((n_samples,), dtype=np.float32)
+
+    def __getitem__(self, idx: int) -> Dict:
+        row = self.df.iloc[idx]
+        try:
+            audio = self._load_waveform(row["file"])
+            text = str(row["text"])
+            class_id = int(row["class"])
+            seq = self.create_sequence_with_disease_context(text, class_id)
+            return {
+                "audio": audio,
+                "input_tokens": seq[:-1],
+                "target_tokens": seq[1:],
+                "class": class_id,
+                "text": text,
+                "path": row["file"],
+            }
+        except Exception as e:  # dummy-sample fallback (reference dataset.py:158-174)
+            print(f"Error loading sample {idx}: {e}")
+            seq = self.create_sequence_with_disease_context("", 0)
+            return {
+                "audio": np.zeros(
+                    (getattr(self.config, "audio_samples", N_SAMPLES),), dtype=np.float32
+                ),
+                "input_tokens": seq[:-1],
+                "target_tokens": seq[1:],
+                "class": 0,
+                "text": "",
+                "path": row.get("file", "unknown"),
+            }
+
+
+def bucket_length(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def collate(items: List[Dict], tokenizer: Tokenizer, buckets) -> Dict:
+    """Stack a batch, padding inputs with EOT and targets with -100
+    (reference dataset.py:176-219) up to a static bucket length."""
+    max_len = max(max(len(it["input_tokens"]), len(it["target_tokens"])) for it in items)
+    L = bucket_length(max_len, buckets)
+    B = len(items)
+    input_tokens = np.full((B, L), tokenizer.eot, np.int32)
+    target_tokens = np.full((B, L), -100, np.int32)
+    for i, it in enumerate(items):
+        inp = it["input_tokens"][:L]
+        tgt = it["target_tokens"][:L]
+        input_tokens[i, : len(inp)] = inp
+        target_tokens[i, : len(tgt)] = tgt
+    return {
+        "audio": np.stack([it["audio"] for it in items]),
+        "input_tokens": input_tokens,
+        "target_tokens": target_tokens,
+        "classes": np.asarray([it["class"] for it in items], np.int32),
+        "texts": [it["text"] for it in items],
+        "paths": [it["path"] for it in items],
+    }
+
+
+class DataLoader:
+    """Thread-pooled, prefetching batch loader (host side)."""
+
+    def __init__(
+        self,
+        dataset: MultiTaskSpeechDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+        buckets=(48, 64, 96, 128, 192, 448),
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self.buckets = tuple(buckets)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    out_q.put(collate(items, self.dataset.tokenizer, self.buckets))
+            out_q.put(None)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

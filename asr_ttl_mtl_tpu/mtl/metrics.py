@@ -1,0 +1,154 @@
+"""Evaluation metrics for the MTL task: WER/CER + classification reports.
+
+WER/CER are implemented here (jiwer-compatible corpus semantics: total edit
+operations over total reference length, whitespace word splitting for WER,
+character sequences for CER) so the framework has no dependency on jiwer.
+Classification metrics mirror the sklearn calls in reference
+`speech_disorder/trainer.py:246-324` and `scripts/inference_disease.py:170-201`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _edit_distance(ref: Sequence, hyp: Sequence) -> int:
+    """Levenshtein distance with O(min(len)) memory."""
+    if len(ref) == 0:
+        return len(hyp)
+    if len(hyp) == 0:
+        return len(ref)
+    prev = list(range(len(hyp) + 1))
+    for i, r in enumerate(ref, 1):
+        cur = [i] + [0] * len(hyp)
+        for j, h in enumerate(hyp, 1):
+            cur[j] = min(
+                prev[j] + 1,  # deletion
+                cur[j - 1] + 1,  # insertion
+                prev[j - 1] + (r != h),  # substitution
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _norm_words(text: str) -> List[str]:
+    return re.sub(r"\s+", " ", text.strip()).split(" ") if text.strip() else []
+
+
+def _norm_chars(text: str) -> List[str]:
+    return list(re.sub(r"\s+", " ", text.strip()))
+
+
+def wer(references: List[str], hypotheses: List[str]) -> float:
+    """Corpus word error rate: sum(edits) / sum(reference words)."""
+    assert len(references) == len(hypotheses)
+    edits = total = 0
+    for ref, hyp in zip(references, hypotheses):
+        r, h = _norm_words(ref), _norm_words(hyp)
+        edits += _edit_distance(r, h)
+        total += len(r)
+    return edits / total if total else 0.0
+
+
+def cer(references: List[str], hypotheses: List[str]) -> float:
+    """Corpus character error rate: sum(edits) / sum(reference chars)."""
+    assert len(references) == len(hypotheses)
+    edits = total = 0
+    for ref, hyp in zip(references, hypotheses):
+        r, h = _norm_chars(ref), _norm_chars(hyp)
+        edits += _edit_distance(r, h)
+        total += len(r)
+    return edits / total if total else 0.0
+
+
+def classification_metrics(labels: Sequence[int], predictions: Sequence[int]) -> Dict:
+    """Accuracy + weighted/macro/per-class P/R/F1 (sklearn)."""
+    from sklearn.metrics import accuracy_score, f1_score, precision_recall_fscore_support
+
+    labels = list(labels)
+    predictions = list(predictions)
+    out = {
+        "disease_acc": accuracy_score(labels, predictions),
+        "weighted_f1": f1_score(labels, predictions, average="weighted", zero_division=0),
+        "macro_f1": f1_score(labels, predictions, average="macro", zero_division=0),
+    }
+    wp, wr, _, _ = precision_recall_fscore_support(
+        labels, predictions, average="weighted", zero_division=0
+    )
+    mp, mr, _, _ = precision_recall_fscore_support(
+        labels, predictions, average="macro", zero_division=0
+    )
+    pp, pr, pf, sup = precision_recall_fscore_support(
+        labels, predictions, average=None, zero_division=0
+    )
+    out.update(
+        weighted_precision=wp,
+        weighted_recall=wr,
+        macro_precision=mp,
+        macro_recall=mr,
+        per_class_precision=pp.tolist(),
+        per_class_recall=pr.tolist(),
+        per_class_f1=pf.tolist(),
+        per_class_support=sup.tolist(),
+    )
+    return out
+
+
+def confusion_matrix(labels: Sequence[int], predictions: Sequence[int], n_classes: int = 3):
+    m = np.zeros((n_classes, n_classes), dtype=np.int64)
+    for l, p in zip(labels, predictions):
+        m[int(l), int(p)] += 1
+    return m
+
+
+def detailed_metrics(
+    pred_texts: List[str],
+    ref_texts: List[str],
+    disease_predictions: Sequence[int],
+    disease_labels: Sequence[int],
+    disease_names: Tuple[str, ...] = ("normal", "dysphonia", "dysarthria"),
+) -> Dict:
+    """Full metric block matching reference trainer.compute_detailed_metrics
+    (trainer.py:246-324): overall + per-class classification and WER/CER."""
+    metrics: Dict = {}
+    if len(disease_predictions) > 0:
+        metrics.update(classification_metrics(disease_labels, disease_predictions))
+
+    if pred_texts and ref_texts:
+        valid = [(p.lower(), r.lower()) for p, r in zip(pred_texts, ref_texts) if r.strip()]
+        if valid:
+            preds, refs = zip(*valid)
+            metrics["wer"] = wer(list(refs), list(preds))
+            metrics["cer"] = cer(list(refs), list(preds))
+
+    per_class: Dict[str, Dict] = {}
+    if len(pred_texts) == len(ref_texts) == len(disease_labels) and pred_texts:
+        for class_id, name in enumerate(disease_names):
+            idxs = [i for i, l in enumerate(disease_labels) if l == class_id]
+            if not idxs:
+                continue
+            pairs = [
+                (pred_texts[i].lower(), ref_texts[i].lower())
+                for i in idxs
+                if ref_texts[i].strip()
+            ]
+            if pairs:
+                preds, refs = zip(*pairs)
+                per_class[name] = {
+                    "wer": wer(list(refs), list(preds)),
+                    "cer": cer(list(refs), list(preds)),
+                    "samples": len(idxs),
+                    "valid_samples": len(pairs),
+                }
+            else:
+                per_class[name] = {
+                    "wer": 1.0,
+                    "cer": 1.0,
+                    "samples": len(idxs),
+                    "valid_samples": 0,
+                }
+    metrics["per_class_transcription"] = per_class
+    return metrics

@@ -1,0 +1,685 @@
+"""Multi-task trainer: joint ASR + speech-disorder-classification fine-tune.
+
+Behavioral parity with reference `speech_disorder/trainer.py:16-629`:
+disease-token vocab expansion, mean-pooled-encoder classifier head
+(Linear(d, d/2) -> ReLU -> Dropout(0.1) -> Linear(d/2, 3)), 4-group AdamW
+(encoder 0.1x lr, decoder 0.3x, embeddings 1x/no-decay, classifier 1x),
+one-shot inverse-loss alpha/beta, global-norm grad clip, best-val-loss
+checkpointing with early stopping, teacher-forced evaluation metrics, and
+`.pt` checkpoints that are byte-compatible with the reference's
+(`trainer.py:568-586`) so either stack can load the other's models.
+
+TPU-first design:
+* One jitted train step = device log-mel + encoder + both heads + backward +
+  optax update; executed under a ('dp','tp') mesh with batch sharded over dp
+  (XLA inserts the gradient psum over ICI). Master params fp32; forward in
+  bf16 on TPU.
+* Input pipeline ships raw waveforms (see mtl/dataset.py); no per-sample host
+  STFT and no per-step Python optimizer loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+from dataclasses import asdict, fields
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..audio import log_mel_spectrogram_jax
+from ..models import whisper as W
+from ..models.dims import PRESET_DIMS, ModelDimensions
+from ..models.registry import (
+    WhisperModel,
+    convert_torch_state_dict,
+    export_torch_state_dict,
+    from_random,
+    load_model,
+)
+from ..parallel import create_mesh, data_sharding, replicated, shard_params
+from ..tokenizer import Tokenizer
+from .config import TrainingConfig
+from .dataset import build_mtl_tokenizer
+from .metrics import detailed_metrics
+
+_F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# classifier head + losses (pure functions)
+# ---------------------------------------------------------------------------
+
+
+def init_classifier_params(key: jax.Array, d_model: int, n_classes: int = 3) -> Dict:
+    """Linear(d, d/2) -> ReLU -> Dropout -> Linear(d/2, n_classes)
+    (reference trainer.py:126-137), torch-default fan-in init."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h = d_model // 2
+
+    def u(k, shape, fan_in):
+        bound = 1.0 / np.sqrt(fan_in)
+        return jax.random.uniform(k, shape, _F32, -bound, bound)
+
+    return {
+        "fc1": {"w": u(k1, (d_model, h), d_model), "b": u(k2, (h,), d_model)},
+        "fc2": {"w": u(k3, (h, n_classes), h), "b": u(k4, (n_classes,), h)},
+    }
+
+
+def classifier_apply(
+    cp: Dict,
+    pooled: jnp.ndarray,  # (B, D)
+    *,
+    dropout_rng: Optional[jax.Array] = None,
+    train: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    x = pooled.astype(compute_dtype)
+    x = jnp.matmul(x, cp["fc1"]["w"].astype(compute_dtype), preferred_element_type=_F32)
+    x = jax.nn.relu(x + cp["fc1"]["b"].astype(_F32))
+    if train and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 0.9, x.shape)
+        x = jnp.where(keep, x / 0.9, 0.0)
+    x = x.astype(compute_dtype)
+    logits = jnp.matmul(x, cp["fc2"]["w"].astype(compute_dtype), preferred_element_type=_F32)
+    return logits + cp["fc2"]["b"].astype(_F32)
+
+
+def cross_entropy_ignore_index(
+    logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int = -100
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Token CE with ignore mask. Returns (mean, per_row_sum, per_row_count)
+    — mean matches torch's CrossEntropyLoss(ignore_index=-100) reduction."""
+    valid = targets != ignore_index
+    safe_targets = jnp.where(valid, targets, 0)
+    logprobs = jax.nn.log_softmax(logits.astype(_F32), axis=-1)
+    token_lp = jnp.take_along_axis(logprobs, safe_targets[..., None], axis=-1)[..., 0]
+    token_loss = jnp.where(valid, -token_lp, 0.0)
+    per_row_sum = token_loss.sum(axis=-1)
+    per_row_count = valid.sum(axis=-1)
+    mean = per_row_sum.sum() / jnp.maximum(per_row_count.sum(), 1)
+    return mean, per_row_sum, per_row_count
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    logprobs = jax.nn.log_softmax(logits.astype(_F32), axis=-1)
+    per_row = -jnp.take_along_axis(logprobs, labels[:, None], axis=-1)[:, 0]
+    return per_row.mean(), per_row
+
+
+# ---------------------------------------------------------------------------
+# the trainer
+# ---------------------------------------------------------------------------
+
+
+class MultiTaskTrainer:
+    def __init__(self, config: TrainingConfig, verbose: bool = True):
+        self.config = config
+        self.verbose = verbose
+        self._log(f"=== Multi-Task Learning Trainer (TPU/jax) ===")
+
+        self.is_english_only = ".en" in config.model_size
+        self.tokenizer: Tokenizer = build_mtl_tokenizer(config.model_size)
+        self._log(
+            f"Tokenizer: {'en-only' if self.is_english_only else 'multilingual'}, "
+            f"EOT={self.tokenizer.eot} SOT={self.tokenizer.sot} "
+            f"diseases={self.tokenizer.disease_tokens}"
+        )
+
+        self.class_to_disease = config.class_to_disease
+        self.disease_to_class = {v: k for k, v in config.class_to_disease.items()}
+        self.disease_token_ids = dict(self.tokenizer.disease_tokens)
+        # position of the disease token inside the target sequence
+        # (reference trainer.py:70-76)
+        self.disease_token_position = 1 if self.is_english_only else 2
+
+        self.compute_dtype = jnp.dtype(config.compute_dtype)
+        self.model = self._load_base_model()
+        self._expand_vocabulary()
+
+        key = jax.random.PRNGKey(config.seed)
+        self.classifier_params = init_classifier_params(key, self.model.dims.n_audio_state)
+
+        self.mesh = create_mesh(config.mesh_shape)
+        self._shard_all()
+
+        self.optimizer = self._build_optimizer()
+        self.opt_state = self.optimizer.init(self._trainable())
+
+        self.alpha = float(config.alpha)
+        self.beta = float(config.beta)
+        self._rng = jax.random.PRNGKey(config.seed + 1)
+        self._train_step = None
+        self._eval_step = None
+        self._log(
+            f"Trainer ready: dims={self.model.dims}, mesh={dict(self.mesh.shape)}, "
+            f"compute={self.compute_dtype}"
+        )
+
+    # --- setup -------------------------------------------------------------
+
+    def _log(self, *args):
+        if self.verbose:
+            print(*args)
+
+    def _load_base_model(self) -> WhisperModel:
+        cfg = self.config
+        if cfg.pretrained == "random":
+            spec = (
+                ModelDimensions(**cfg.debug_dims) if cfg.debug_dims else cfg.model_size
+            )
+            return from_random(spec, seed=cfg.seed, compute_dtype=self.compute_dtype)
+        name = cfg.pretrained or cfg.model_size
+        try:
+            model = load_model(name, compute_dtype=self.compute_dtype)
+        except Exception as e:
+            raise RuntimeError(
+                f"Could not load pretrained weights for '{name}' ({e}). Set "
+                "TrainingConfig.pretrained to a local checkpoint path, or to "
+                "'random' for scratch initialization."
+            ) from e
+        return model
+
+    def _expand_vocabulary(self):
+        """Grow embeddings to cover the spliced disease tokens
+        (reference trainer.py:103-124)."""
+        original = self.model.dims.n_vocab
+        max_token_id = max(self.tokenizer.special_tokens.values())
+        new_vocab = max_token_id + 1
+        if new_vocab > original:
+            self.model.resize_token_embeddings(new_vocab, seed=self.config.seed)
+            self._log(f"Vocabulary expanded: {original} -> {new_vocab}")
+
+    def _shard_all(self):
+        self.model.params = shard_params(self.model.params, self.mesh)
+        self.classifier_params = jax.device_put(
+            self.classifier_params, replicated(self.mesh)
+        )
+
+    def _trainable(self) -> Dict:
+        return {"model": self.model.params, "classifier": self.classifier_params}
+
+    def _set_trainable(self, tr: Dict):
+        self.model.params = tr["model"]
+        self.classifier_params = tr["classifier"]
+
+    def _build_optimizer(self) -> optax.GradientTransformation:
+        """Global-norm clip + 4-group AdamW (reference trainer.py:139-198)."""
+        cfg = self.config
+        lr, wd = cfg.learning_rate, cfg.weight_decay
+
+        def label(path, _leaf):
+            names = [str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k)))) for k in path]
+            if names[0] == "classifier":
+                return "classifier"
+            if names[1] == "encoder":
+                return "frozen" if cfg.freeze_encoder else "encoder"
+            if names[1] == "decoder" and names[2] == "token_embedding":
+                return "embeddings"
+            return "decoder"
+
+        def adamw(lr_scale, weight_decay):
+            return optax.adamw(
+                lr * lr_scale, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+            )
+
+        groups = {
+            "encoder": adamw(0.1, wd),
+            "decoder": adamw(0.3, wd),
+            "embeddings": adamw(1.0, 0.0),
+            "classifier": adamw(1.0, wd),
+            "frozen": optax.set_to_zero(),
+        }
+        labels = lambda tree: jax.tree_util.tree_map_with_path(label, tree)  # noqa: E731
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clip_norm),
+            optax.multi_transform(groups, labels),
+        )
+
+    # --- the compiled steps --------------------------------------------------
+
+    def _forward(self, trainable, audio, input_tokens, target_tokens, classes,
+                 rng, train: bool):
+        """Shared fwd: device log-mel -> encoder -> both heads -> losses."""
+        dims = self.model.dims
+        params, cp = trainable["model"], trainable["classifier"]
+        mels = log_mel_spectrogram_jax(audio, n_mels=dims.n_mels)
+        feats = W.encoder_apply(params, dims, mels, self.compute_dtype)
+
+        pooled = feats.mean(axis=1)
+        disease_logits = classifier_apply(
+            cp, pooled, dropout_rng=rng, train=train, compute_dtype=self.compute_dtype
+        )
+        cls_loss, cls_per_row = cross_entropy(disease_logits, classes)
+
+        trans_logits, _, _ = W.decoder_apply(
+            params, dims, input_tokens, feats, compute_dtype=self.compute_dtype
+        )
+        trans_loss, trans_row_sum, trans_row_cnt = cross_entropy_ignore_index(
+            trans_logits, target_tokens
+        )
+
+        aux = {
+            "cls_loss": cls_loss,
+            "trans_loss": trans_loss,
+            "cls_per_row": cls_per_row,
+            "trans_row_sum": trans_row_sum,
+            "trans_row_count": trans_row_cnt,
+            "disease_preds": jnp.argmax(disease_logits, axis=-1),
+            "disease_probs": jax.nn.softmax(disease_logits, axis=-1),
+            "pred_tokens": jnp.argmax(trans_logits, axis=-1),
+        }
+        return cls_loss, trans_loss, aux
+
+    def _effective_weights(self, alpha, beta, cls_loss, trans_loss):
+        """Inverse-loss-normalized weights when configured dynamic
+        (reference trainer.py:207-220; one-shot freeze handled by the host)."""
+        c = jax.lax.stop_gradient(cls_loss) + 1e-6
+        t = jax.lax.stop_gradient(trans_loss) + 1e-6
+        dyn_alpha = (1.0 / c) / (1.0 / c + 1.0 / t)
+        dyn_beta = (1.0 / t) / (1.0 / c + 1.0 / t)
+        use_dyn = (alpha == 0.0) | (beta == 0.0)
+        return (
+            jnp.where(use_dyn, dyn_alpha, alpha),
+            jnp.where(use_dyn, dyn_beta, beta),
+        )
+
+    def _get_train_step(self):
+        if self._train_step is not None:
+            return self._train_step
+        optimizer = self.optimizer
+
+        def step(trainable, opt_state, audio, input_tokens, target_tokens, classes,
+                 alpha, beta, rng):
+            def loss_fn(tr):
+                cls_loss, trans_loss, aux = self._forward(
+                    tr, audio, input_tokens, target_tokens, classes, rng, train=True
+                )
+                a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
+                combined = a * cls_loss + b * trans_loss
+                aux.update({"alpha_eff": a, "beta_eff": b})
+                return combined, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss, aux
+
+        self._train_step = jax.jit(step, donate_argnums=(0, 1))
+        return self._train_step
+
+    def _get_eval_step(self):
+        if self._eval_step is not None:
+            return self._eval_step
+
+        def step(trainable, audio, input_tokens, target_tokens, classes, alpha, beta):
+            cls_loss, trans_loss, aux = self._forward(
+                trainable, audio, input_tokens, target_tokens, classes, None, train=False
+            )
+            a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
+            combined = a * cls_loss + b * trans_loss
+            aux.update({"alpha_eff": a, "beta_eff": b, "combined": combined})
+            return aux
+
+        self._eval_step = jax.jit(step)
+        return self._eval_step
+
+    def _device_batch(self, batch: Dict, pad_to_multiple: Optional[int] = None):
+        """Ship a host batch to the mesh (dp-sharded), optionally padding the
+        batch dim so it divides dp. Returns (device arrays, n_valid)."""
+        dp = self.mesh.shape.get("dp", 1)
+        n = batch["audio"].shape[0]
+        n_valid = n
+        mult = pad_to_multiple or dp
+        if n % mult != 0:
+            pad = mult - n % mult
+            rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])  # noqa: E731
+            batch = {
+                **batch,
+                "audio": rep(batch["audio"]),
+                "input_tokens": rep(batch["input_tokens"]),
+                "target_tokens": rep(batch["target_tokens"]),
+                "classes": rep(batch["classes"]),
+            }
+        dev = {}
+        for k in ("audio", "input_tokens", "target_tokens", "classes"):
+            v = batch[k]
+            dev[k] = jax.device_put(v, data_sharding(self.mesh, v.ndim))
+        return dev, n_valid
+
+    # --- prediction decoding (reference trainer.py:222-244) -----------------
+
+    _SPECIAL_STRINGS = [
+        "<|startoftranscript|>", "<|endoftext|>", "<|en|>",
+        "<|transcribe|>", "<|notimestamps|>", "<|nospeech|>",
+        "<|normal|>", "<|dysphonia|>", "<|dysarthria|>",
+    ]
+
+    def decode_predictions(self, pred_tokens: np.ndarray) -> List[str]:
+        texts = []
+        for row in pred_tokens:
+            text = self.tokenizer.decode([int(t) for t in row if t != -100])
+            for s in self._SPECIAL_STRINGS:
+                text = text.replace(s, "")
+            texts.append(text.strip())
+        return texts
+
+    # --- epochs --------------------------------------------------------------
+
+    def train_epoch(self, dataloader, epoch: int) -> Dict:
+        step_fn = self._get_train_step()
+        trainable = self._trainable()
+        opt_state = self.opt_state
+
+        totals = {"loss": 0.0, "cls_loss": 0.0, "trans_loss": 0.0}
+        all_preds, all_labels, all_pred_texts, all_ref_texts = [], [], [], []
+        n_batches = 0
+        t0 = time.time()
+
+        for batch in dataloader:
+            dev, n_valid = self._device_batch(batch)
+            self._rng, sub = jax.random.split(self._rng)
+            trainable, opt_state, loss, aux = step_fn(
+                trainable, opt_state,
+                dev["audio"], dev["input_tokens"], dev["target_tokens"], dev["classes"],
+                jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32), sub,
+            )
+            n_batches += 1
+            totals["loss"] += float(loss)
+            totals["cls_loss"] += float(aux["cls_loss"])
+            totals["trans_loss"] += float(aux["trans_loss"])
+
+            # one-shot dynamic weight freeze (reference trainer.py:412-413)
+            if self.alpha == 0.0 or self.beta == 0.0:
+                if not self.config.true_dynamic_weights:
+                    self.alpha = float(aux["alpha_eff"])
+                    self.beta = float(aux["beta_eff"])
+
+            all_preds.extend(np.asarray(aux["disease_preds"])[:n_valid])
+            all_labels.extend(batch["classes"][:n_valid])
+            all_pred_texts.extend(
+                self.decode_predictions(np.asarray(aux["pred_tokens"])[:n_valid])
+            )
+            all_ref_texts.extend(batch["texts"][:n_valid])
+
+        self._set_trainable(trainable)
+        self.opt_state = opt_state
+
+        metrics = detailed_metrics(all_pred_texts, all_ref_texts, all_preds, all_labels)
+        n_batches = max(n_batches, 1)
+        metrics.update(
+            loss=totals["loss"] / n_batches,
+            cls_loss=totals["cls_loss"] / n_batches,
+            trans_loss=totals["trans_loss"] / n_batches,
+            alpha=self.alpha,
+            beta=self.beta,
+            epoch_seconds=time.time() - t0,
+            samples_per_second=len(all_labels) / max(time.time() - t0, 1e-9),
+        )
+        self._log(
+            f"epoch {epoch+1} train: loss={metrics['loss']:.4f} "
+            f"(cls {metrics['cls_loss']:.4f}, trans {metrics['trans_loss']:.4f}) "
+            f"alpha={self.alpha:.4f} beta={self.beta:.4f} "
+            f"acc={metrics.get('disease_acc', 0):.4f} wer={metrics.get('wer', -1):.4f} "
+            f"[{metrics['samples_per_second']:.1f} samples/s]"
+        )
+        return metrics
+
+    def evaluate(self, dataloader) -> Dict:
+        step_fn = self._get_eval_step()
+        trainable = self._trainable()
+
+        loss_sums = {"combined": 0.0, "cls": 0.0, "trans": 0.0}
+        n_batches = 0
+        all_preds, all_labels, all_pred_texts, all_ref_texts = [], [], [], []
+
+        for batch in dataloader:
+            dev, n_valid = self._device_batch(batch)
+            aux = step_fn(
+                trainable,
+                dev["audio"], dev["input_tokens"], dev["target_tokens"], dev["classes"],
+                jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
+            )
+            n_batches += 1
+            # batch-mean losses over the *valid* rows only
+            cls_rows = np.asarray(aux["cls_per_row"])[:n_valid]
+            tr_sum = np.asarray(aux["trans_row_sum"])[:n_valid]
+            tr_cnt = np.asarray(aux["trans_row_count"])[:n_valid]
+            cls_mean = float(cls_rows.mean())
+            trans_mean = float(tr_sum.sum() / max(tr_cnt.sum(), 1))
+            loss_sums["cls"] += cls_mean
+            loss_sums["trans"] += trans_mean
+            loss_sums["combined"] += self.alpha * cls_mean + self.beta * trans_mean
+
+            all_preds.extend(np.asarray(aux["disease_preds"])[:n_valid])
+            all_labels.extend(batch["classes"][:n_valid])
+            all_pred_texts.extend(
+                self.decode_predictions(np.asarray(aux["pred_tokens"])[:n_valid])
+            )
+            all_ref_texts.extend(batch["texts"][:n_valid])
+
+        metrics = detailed_metrics(all_pred_texts, all_ref_texts, all_preds, all_labels)
+        n_batches = max(n_batches, 1)
+        metrics.update(
+            loss=loss_sums["combined"] / n_batches,
+            cls_loss=loss_sums["cls"] / n_batches,
+            trans_loss=loss_sums["trans"] / n_batches,
+        )
+        self._log(
+            f"  val: loss={metrics['loss']:.4f} acc={metrics.get('disease_acc', 0):.4f} "
+            f"wer={metrics.get('wer', -1):.4f} cer={metrics.get('cer', -1):.4f}"
+        )
+        return metrics
+
+    def train(self, train_loader, val_loader) -> Dict:
+        """Best-val-loss checkpointing + early stopping
+        (reference trainer.py:541-612)."""
+        best_loss = float("inf")
+        patience_counter = 0
+        training_history = []
+
+        for epoch in range(self.config.epochs):
+            train_metrics = self.train_epoch(train_loader, epoch)
+            val_metrics = self.evaluate(val_loader)
+
+            current_loss = val_metrics["loss"]
+            if current_loss < best_loss:
+                best_loss = current_loss
+                patience_counter = 0
+                self.save_checkpoint(
+                    epoch=epoch,
+                    best_loss=best_loss,
+                    val_metrics=val_metrics,
+                    train_metrics=train_metrics,
+                )
+            else:
+                patience_counter += 1
+                self._log(
+                    f"  no improvement; patience {patience_counter}/"
+                    f"{self.config.early_stopping_patience}"
+                )
+                if patience_counter >= self.config.early_stopping_patience:
+                    self._log("early stopping triggered")
+                    break
+
+            training_history.append(
+                {"epoch": epoch + 1, "train_metrics": train_metrics, "val_metrics": val_metrics}
+            )
+
+        # persist the history (the reference *claims* to save this file but
+        # never writes it — train_disease.py:202-204; we actually do)
+        if self.config.save_dir:
+            hist_path = os.path.join(
+                self.config.save_dir, f"training_history_{self.config.model_size}.json"
+            )
+            with open(hist_path, "w") as f:
+                json.dump(_to_jsonable(training_history), f, indent=2)
+
+        self._log(f"training complete; best val loss {best_loss:.4f}")
+        return {"best_loss": best_loss, "training_history": training_history}
+
+    # --- checkpointing -------------------------------------------------------
+
+    def checkpoint_path(self) -> str:
+        return os.path.join(
+            self.config.save_dir or ".", f"best_multitask_model_{self.config.model_size}.pt"
+        )
+
+    def _classifier_state_dict(self):
+        """Reference-compatible nn.Sequential keys (0=fc1, 3=fc2)."""
+        import torch
+
+        cp = jax.device_get(self.classifier_params)
+        return {
+            "0.weight": torch.from_numpy(np.ascontiguousarray(np.asarray(cp["fc1"]["w"]).T)),
+            "0.bias": torch.from_numpy(np.asarray(cp["fc1"]["b"])),
+            "3.weight": torch.from_numpy(np.ascontiguousarray(np.asarray(cp["fc2"]["w"]).T)),
+            "3.bias": torch.from_numpy(np.asarray(cp["fc2"]["b"])),
+        }
+
+    def _load_classifier_state_dict(self, sd):
+        self.classifier_params = jax.device_put(
+            {
+                "fc1": {
+                    "w": jnp.asarray(np.asarray(sd["0.weight"]).T),
+                    "b": jnp.asarray(np.asarray(sd["0.bias"])),
+                },
+                "fc2": {
+                    "w": jnp.asarray(np.asarray(sd["3.weight"]).T),
+                    "b": jnp.asarray(np.asarray(sd["3.bias"])),
+                },
+            },
+            replicated(self.mesh),
+        )
+
+    def save_checkpoint(self, epoch: int, best_loss: float, val_metrics=None, train_metrics=None):
+        """Write the reference `.pt` checkpoint format (trainer.py:568-586)."""
+        import torch
+
+        ckpt = {
+            "model_state_dict": export_torch_state_dict(
+                jax.device_get(self.model.params), self.model.dims
+            ),
+            "disease_classifier_state_dict": self._classifier_state_dict(),
+            "optimizer_state_dict": _to_jsonable(jax.device_get(self.opt_state)),
+            "config": asdict(self.config),
+            "dims": self.model.dims.__dict__,
+            "epoch": epoch,
+            "best_loss": best_loss,
+            "val_metrics": _to_jsonable(val_metrics),
+            "train_metrics": _to_jsonable(train_metrics),
+            "alpha": self.alpha,
+            "beta": self.beta,
+            "tokenizer_info": {
+                "eot_token": self.tokenizer.eot,
+                "sot_token": self.tokenizer.sot,
+                "disease_tokens": dict(self.tokenizer.disease_tokens),
+                "disease_token_ids": dict(self.disease_token_ids),
+                "disease_token_position": self.disease_token_position,
+            },
+        }
+        path = self.checkpoint_path()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        torch.save(ckpt, path)
+        self._log(f"  best model saved: {path}")
+
+    @classmethod
+    def load_from_checkpoint(cls, checkpoint_path: str, verbose: bool = True,
+                             **config_overrides) -> "MultiTaskTrainer":
+        """Restore from a `.pt` checkpoint — ours *or* the reference's
+        (trainer.py:614-629)."""
+        ckpt = _torch_load_compat(checkpoint_path)
+        config = _coerce_config(ckpt["config"], **config_overrides)
+        # no network fetch needed: all weights come from the checkpoint
+        config.pretrained = "random"
+        trainer = cls(config, verbose=verbose)
+
+        sd = ckpt["model_state_dict"]
+        n_vocab = sd["decoder.token_embedding.weight"].shape[0]
+        dims = trainer.model.dims.replace(n_vocab=int(n_vocab))
+        trainer.model.dims = dims
+        trainer.model.params = shard_params(
+            convert_torch_state_dict(dims, sd), trainer.mesh
+        )
+        trainer._load_classifier_state_dict(ckpt["disease_classifier_state_dict"])
+        trainer.opt_state = trainer.optimizer.init(trainer._trainable())
+        trainer.alpha = float(ckpt.get("alpha", 0.5))
+        trainer.beta = float(ckpt.get("beta", 0.5))
+        if verbose:
+            print(f"Model loaded from: {checkpoint_path}")
+        return trainer
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-compat helpers
+# ---------------------------------------------------------------------------
+
+
+def _torch_load_compat(path: str):
+    """torch.load that tolerates checkpoints pickled with the reference's
+    `speech_disorder` package installed (its TrainingConfig class)."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError as e:
+        if "speech_disorder" not in str(e):
+            raise
+        shim = types.ModuleType("speech_disorder")
+        shim_cfg = types.ModuleType("speech_disorder.config")
+
+        class _RefConfig:  # plain attribute bag for unpickling
+            pass
+
+        shim_cfg.TrainingConfig = _RefConfig
+        shim.config = shim_cfg
+        sys.modules.setdefault("speech_disorder", shim)
+        sys.modules.setdefault("speech_disorder.config", shim_cfg)
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _coerce_config(obj: Any, **overrides) -> TrainingConfig:
+    """Accept a dict (ours) or any attribute bag (reference pickle)."""
+    if isinstance(obj, TrainingConfig):
+        cfg = obj
+    else:
+        known = {f.name for f in fields(TrainingConfig)}
+        if isinstance(obj, dict):
+            data = {k: v for k, v in obj.items() if k in known}
+        else:
+            data = {
+                k: getattr(obj, k)
+                for k in known
+                if hasattr(obj, k) and not k.startswith("_")
+            }
+        data.pop("device", None)
+        cfg = TrainingConfig(**data)
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def _to_jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    if isinstance(obj, (np.ndarray, jnp.ndarray)):
+        return np.asarray(obj).tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if hasattr(obj, "_fields") or hasattr(obj, "__dict__") and not isinstance(obj, type):
+        try:
+            json.dumps(obj)
+            return obj
+        except TypeError:
+            return str(obj)
+    return obj

@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    create_mesh,
+    data_sharding,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_params,
+)

@@ -48,6 +48,21 @@ def import_reference_whisper():
 
         numba.jit = _jit
         sys.modules["numba"] = numba
+    if "jiwer" not in sys.modules:
+        # the reference's speech_disorder package imports jiwer at module
+        # scope; provide our own (semantics-compatible) WER/CER
+        from asr_ttl_mtl_tpu.mtl import metrics as _m
+
+        jiwer = types.ModuleType("jiwer")
+        jiwer.wer = lambda refs, hyps: _m.wer(
+            refs if isinstance(refs, list) else [refs],
+            hyps if isinstance(hyps, list) else [hyps],
+        )
+        jiwer.cer = lambda refs, hyps: _m.cer(
+            refs if isinstance(refs, list) else [refs],
+            hyps if isinstance(hyps, list) else [hyps],
+        )
+        sys.modules["jiwer"] = jiwer
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import whisper  # noqa: F401
