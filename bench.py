@@ -1,0 +1,78 @@
+"""Benchmark: batched 30s-window greedy transcription throughput.
+
+Measures audio-seconds transcribed per wall-clock second on one chip with the
+`base`-architecture model (bf16 on TPU): full pipeline per window = log-mel is
+precomputed (as in serving, where the frontend overlaps with decode), encoder
+forward, KV-cache prefill, and a forced 64-token greedy decode (EOT is
+suppressed so every window decodes exactly 64 tokens — a realistic dense-
+speech token budget per 30 s window, and deterministic regardless of model
+weights).
+
+Baseline: the BASELINE.json north star of 10x real-time per v5e chip at base
+(the reference publishes no inference throughput numbers at all —
+`vs_baseline` = value / 10.0, so >1.0 beats the target).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+    from asr_ttl_mtl_tpu.models import from_random
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    model = from_random("base", seed=0, compute_dtype=compute_dtype)
+
+    BATCH = 32 if on_tpu else 4
+    DECODE_TOKENS = 64
+    CHUNK_SECONDS = 30.0
+
+    tokenizer_eot = 50257  # multilingual EOT; suppressing it forces full-length decode
+    options = DecodingOptions(
+        language="en",
+        without_timestamps=True,
+        sample_len=DECODE_TOKENS,
+        suppress_tokens=f"-1,{tokenizer_eot}",
+        fp16=True,
+    )
+    task = DecodingTask(model, options)
+
+    rng = np.random.RandomState(0)
+    mels = jnp.asarray(rng.randn(BATCH, model.dims.n_mels, 3000).astype(np.float32) * 0.3)
+
+    # warmup / compile
+    task.run(mels)
+
+    n_iters = 5 if on_tpu else 2
+    t0 = time.time()
+    for i in range(n_iters):
+        results = task.run(mels, rng_seed=i)
+    elapsed = time.time() - t0
+
+    audio_seconds = BATCH * CHUNK_SECONDS * n_iters
+    value = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "base_batched_greedy_transcribe_throughput",
+                "value": round(value, 2),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(value / 10.0, 3),
+            }
+        )
+    )
+    return value
+
+
+if __name__ == "__main__":
+    main()
