@@ -1,10 +1,279 @@
-"""Beam search with patience, fully jitted (static buffers).
+"""Beam search with patience, fully inside XLA.
 
-Placeholder module — implemented in the beam-search milestone.
+Behavioral parity with reference `whisper/decoding.py:301-404`
+(BeamSearchDecoder): per-beam top-(beam_size+1) candidates, global re-rank,
+EOT candidates retire into a finished set capped at
+`max_candidates = round(beam_size * patience)` in score order per step
+(fill-once, no replacement — matching the reference's dict-capacity logic),
+completion when every audio has a full finished set, and finalize() that tops
+up unfinished audios from the live beams.
+
+TPU re-design vs the reference:
+
+* The whole search is ONE compiled program: prefill + `lax.while_loop`; no
+  per-step host sync, no Python dict bookkeeping.
+* Beam state lives in static buffers: tokens (B*K, L), finished sequences
+  (B, C, L) written by rank-computed scatter slots.
+* The reference rearranges its hook KV cache by gathering per module
+  (`decoding.py:172-176`); here the cache is (layers, B*K, ctx, D) and one
+  gather along the beam axis does all layers at once.
+* The reference's first-step duplicate-candidate dedup (identical initial
+  beams collapse in its dict) is reproduced by initializing beams 1..K-1 at
+  -inf score, which selects the top-K distinct tokens from beam 0 — the
+  standard equivalent formulation.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+from typing import List, Tuple
 
-def run_beam_search(task, feats, cross_kv, initial):
-    raise NotImplementedError("beam search lands in a later milestone")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decoding import FilterConfig, _apply_filters
+
+_F32 = jnp.float32
+_NEG = -1e9
+_INVALID = -0.5e9  # scores below this are dead-beam artifacts, never used
+
+
+@lru_cache(maxsize=32)
+def _build_beam_loop(
+    dims,
+    cfg: FilterConfig,
+    bucket: int,
+    sample_len: int,
+    beam_size: int,
+    max_candidates: int,
+    compute_dtype_name: str,
+):
+    """fn(params, cross_kv (replicated per beam), initial_tokens (B*K, bucket),
+    valid_len, sot_index, no_speech_token)
+      -> (fin_tokens (B, C, L), fin_scores (B, C), fin_count (B,),
+          live_buf (B*K, L), live_sum_lp (B*K,), no_speech_probs (B*K,), n_sampled)
+    """
+    from .models import whisper as W
+
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    K, C = beam_size, max_candidates
+    buf_len = bucket + sample_len
+
+    def run(params, cross_kv, initial_tokens, valid_len, sot_index, no_speech_token):
+        BK = initial_tokens.shape[0]
+        B = BK // K
+        cache = W.init_kv_cache(dims, BK, compute_dtype)
+
+        prefill_logits, cache, _ = W.decoder_apply(
+            params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
+            pos_offset=0, compute_dtype=compute_dtype,
+        )
+        probs_at_sot = jax.nn.softmax(
+            jnp.take_along_axis(
+                prefill_logits, sot_index[None, None, None].astype(jnp.int32), axis=1
+            )[:, 0],
+            axis=-1,
+        )
+        no_speech_probs = jnp.where(
+            no_speech_token >= 0, probs_at_sot[:, jnp.maximum(no_speech_token, 0)], jnp.nan
+        )
+        first_logits = jnp.take_along_axis(
+            prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+
+        tokens_buf = jnp.concatenate(
+            [initial_tokens, jnp.full((BK, sample_len), cfg.eot, jnp.int32)], axis=1
+        )
+        # only beam 0 is live at the start (see module docstring)
+        sum_lp = jnp.tile(
+            jnp.asarray([0.0] + [_NEG] * (K - 1), _F32), (B,)
+        )
+
+        state = dict(
+            i=jnp.asarray(0, jnp.int32),
+            logits=first_logits,
+            cache=cache,
+            buf=tokens_buf,
+            sum_lp=sum_lp,
+            prev=jnp.full((BK,), -1, jnp.int32),
+            penult=jnp.full((BK,), -1, jnp.int32),
+            last_ts=jnp.full((BK,), -1, jnp.int32),
+            fin_tokens=jnp.full((B, C + 1, buf_len), cfg.eot, jnp.int32),
+            fin_scores=jnp.full((B, C + 1), -jnp.inf, _F32),
+            fin_count=jnp.zeros((B,), jnp.int32),
+        )
+
+        def cond(s):
+            pos = valid_len + s["i"]
+            done = jnp.all(s["fin_count"] >= C)
+            return (s["i"] < sample_len) & (~done) & (pos < dims.n_text_ctx)
+
+        def body(s):
+            pos = valid_len + s["i"]
+            logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
+            logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
+
+            # per-beam top-(K+1) candidates (reference decoding.py:342)
+            top_lp, top_tok = jax.lax.top_k(logprobs, K + 1)  # (BK, K+1)
+            cand_scores = (s["sum_lp"][:, None] + top_lp).reshape(B, K * (K + 1))
+            cand_tok = top_tok.reshape(B, K * (K + 1))
+            cand_parent = jnp.repeat(jnp.arange(K), K + 1)[None, :].repeat(B, 0)
+
+            # global sort: descending score (stable)
+            order = jnp.argsort(-cand_scores, axis=1, stable=True)
+            cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+            cand_tok = jnp.take_along_axis(cand_tok, order, axis=1)
+            cand_parent = jnp.take_along_axis(cand_parent, order, axis=1)
+
+            valid = cand_scores > _INVALID
+            is_eot = (cand_tok == cfg.eot) & valid
+
+            # --- next K live beams: best non-EOT candidates in score order ---
+            keep = (~is_eot) & valid
+            keep_cum = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # inclusive
+            keep_rank = keep_cum - 1
+            selected = keep & (keep_rank < K)
+            # the reference stops scanning candidates once K beams are saved
+            # (decoding.py:350-360), so EOT candidates ranked below the K-th
+            # kept one never reach the finished set
+            is_eot = is_eot & (keep_cum < K)
+            # compact the selected candidates to the front, preserving order
+            comp = jnp.argsort(~selected, axis=1, stable=True)[:, :K]  # (B, K)
+            new_scores = jnp.take_along_axis(cand_scores, comp, axis=1)  # (B, K)
+            new_tok = jnp.take_along_axis(cand_tok, comp, axis=1)
+            new_parent = jnp.take_along_axis(cand_parent, comp, axis=1)
+
+            src = (new_parent + jnp.arange(B)[:, None] * K).reshape(BK)  # global rows
+            buf = s["buf"][src]
+            buf = jax.lax.dynamic_update_slice(buf, new_tok.reshape(BK, 1), (0, pos))
+            cache = {"k": s["cache"]["k"][:, src], "v": s["cache"]["v"][:, src]}
+            new_sum_lp = new_scores.reshape(BK)
+
+            prev = new_tok.reshape(BK)
+            penult = s["prev"][src]
+            is_ts = prev >= cfg.timestamp_begin
+            last_ts = jnp.where(is_ts, prev, s["last_ts"][src])
+
+            # --- retire EOT candidates into the finished set ---------------
+            eot_rank = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) - 1
+            slot = jnp.where(is_eot, s["fin_count"][:, None] + eot_rank, C)
+            slot = jnp.minimum(slot, C)  # overflow -> scratch slot C
+            # finished sequence = parent row with EOT at `pos`
+            parent_rows = s["buf"].reshape(B, K, buf_len)[
+                jnp.arange(B)[:, None], cand_parent
+            ]  # (B, K*(K+1), L)
+            parent_rows = jax.lax.dynamic_update_slice(
+                parent_rows,
+                jnp.full((B, K * (K + 1), 1), cfg.eot, jnp.int32),
+                (0, 0, pos),
+            )
+            fin_tokens = s["fin_tokens"].at[jnp.arange(B)[:, None], slot].set(parent_rows)
+            fin_scores = s["fin_scores"].at[jnp.arange(B)[:, None], slot].set(cand_scores)
+            fin_count = jnp.minimum(
+                s["fin_count"] + is_eot.sum(axis=1).astype(jnp.int32), C
+            )
+            # scratch slot stays inert
+            fin_tokens = fin_tokens.at[:, C].set(cfg.eot)
+            fin_scores = fin_scores.at[:, C].set(-jnp.inf)
+
+            step_logits, cache, _ = W.decoder_apply(
+                params, dims, prev[:, None], cross_kv=cross_kv,
+                kv_cache=cache, pos_offset=pos, compute_dtype=compute_dtype,
+            )
+            return dict(
+                i=s["i"] + 1,
+                logits=step_logits[:, 0],
+                cache=cache,
+                buf=buf,
+                sum_lp=new_sum_lp,
+                prev=prev,
+                penult=penult,
+                last_ts=last_ts,
+                fin_tokens=fin_tokens,
+                fin_scores=fin_scores,
+                fin_count=fin_count,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        return (
+            final["fin_tokens"][:, :C],
+            final["fin_scores"][:, :C],
+            final["fin_count"],
+            final["buf"],
+            final["sum_lp"],
+            no_speech_probs,
+            final["i"],
+        )
+
+    return jax.jit(run)
+
+
+def run_beam_search(
+    task, feats, cross_kv, initial: np.ndarray
+) -> Tuple[List[List[List[int]]], List[List[float]], np.ndarray]:
+    """Returns (tokens, sum_logprobs, no_speech_probs) in DecodingTask.run's
+    group format (one candidate list per audio)."""
+    options = task.options
+    K = options.beam_size
+    patience = options.patience or 1.0
+    C = round(K * patience)
+    assert C > 0, f"Invalid beam size ({K}) or patience ({patience})"
+
+    n_audio = initial.shape[0]
+    initial = np.repeat(initial, K, axis=0)
+    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, K, axis=1), cross_kv)
+
+    valid_len = initial.shape[1]
+    from .decoding import _bucket
+
+    bucket = _bucket(valid_len)
+    padded = np.full((initial.shape[0], bucket), task.tokenizer.eot, np.int32)
+    padded[:, :valid_len] = initial
+
+    sample_len = min(task.sample_len, task.n_ctx)
+    loop = _build_beam_loop(
+        task.model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
+    )
+    no_speech = task.tokenizer.no_speech if task.tokenizer.no_speech is not None else -1
+    fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = loop(
+        task.model.params,
+        cross_kv,
+        jnp.asarray(padded),
+        jnp.asarray(valid_len, jnp.int32),
+        jnp.asarray(task.sot_index, jnp.int32),
+        jnp.asarray(no_speech, jnp.int32),
+    )
+    fin_tokens = np.asarray(fin_tokens)
+    fin_scores = np.asarray(fin_scores)
+    fin_count = np.asarray(fin_count)
+    live_buf = np.asarray(live_buf).reshape(n_audio, K, -1)
+    live_sum_lp = np.asarray(live_sum_lp).reshape(n_audio, K)
+    n_sampled = int(n_sampled)
+    eot = task.tokenizer.eot
+
+    def slice_sampled(row) -> List[int]:
+        sampled = row[valid_len : valid_len + n_sampled + 1]
+        ends = np.nonzero(sampled == eot)[0]
+        end = int(ends[0]) if len(ends) else len(sampled)
+        return [int(t) for t in sampled[:end]]
+
+    tokens: List[List[List[int]]] = []
+    sum_logprobs: List[List[float]] = []
+    for a in range(n_audio):
+        seqs = [slice_sampled(fin_tokens[a, c]) for c in range(int(fin_count[a]))]
+        scores = [float(fin_scores[a, c]) for c in range(int(fin_count[a]))]
+        if len(seqs) < K:
+            # top up from live beams, best first (reference decoding.py:384-395)
+            for j in np.argsort(live_sum_lp[a])[::-1]:
+                if len(seqs) >= K:
+                    break
+                if live_sum_lp[a, j] <= _INVALID:
+                    continue
+                seqs.append(slice_sampled(live_buf[a, j]))
+                scores.append(float(live_sum_lp[a, j]))
+        tokens.append(seqs)
+        sum_logprobs.append(scores)
+
+    no_speech_probs = np.asarray(ns_probs).reshape(n_audio, K)[:, 0]
+    return tokens, sum_logprobs, no_speech_probs
