@@ -1,0 +1,158 @@
+"""Word-timing parity: median filter, DTW, find_alignment, add_word_timestamps."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import import_reference_whisper, reference_available
+
+from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+from asr_ttl_mtl_tpu.models.registry import WhisperModel, convert_torch_state_dict
+from asr_ttl_mtl_tpu.ops.dtw import dtw, dtw_wavefront_numpy, backtrace
+from asr_ttl_mtl_tpu.ops.median import median_filter
+from asr_ttl_mtl_tpu.tokenizer import get_tokenizer
+from asr_ttl_mtl_tpu import timing as T
+
+if not reference_available():
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+import_reference_whisper()
+
+DIMS = ModelDimensions(
+    n_mels=80,
+    n_audio_ctx=96,
+    n_audio_state=64,
+    n_audio_head=4,
+    n_audio_layer=2,
+    n_vocab=51864,
+    n_text_ctx=96,
+    n_text_state=64,
+    n_text_head=4,
+    n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    import torch
+    from whisper.model import ModelDimensions as RefDims, Whisper as RefWhisper
+
+    torch.manual_seed(13)
+    ref = RefWhisper(RefDims(**DIMS.__dict__)).eval()
+    with torch.no_grad():
+        ref.decoder.positional_embedding.normal_(0, 0.02)
+    params = convert_torch_state_dict(DIMS, ref.state_dict())
+    ours = WhisperModel(dims=DIMS, params=params, compute_dtype=jnp.float32)
+    return ref, ours
+
+
+@pytest.mark.parametrize("width", [3, 7, 11])
+@pytest.mark.parametrize("shape", [(40,), (5, 40), (3, 4, 40)])
+def test_median_filter_parity(width, shape):
+    import torch
+    from whisper.timing import median_filter as ref_median
+
+    rng = np.random.RandomState(width)
+    x = rng.randn(*shape).astype(np.float32)
+    ref = ref_median(torch.from_numpy(x), width).numpy()
+    ours_np = median_filter(x, width)
+    ours_jax = np.asarray(median_filter(jnp.asarray(x), width))
+    np.testing.assert_allclose(ours_np, ref, atol=1e-7)
+    np.testing.assert_allclose(ours_jax, ref, atol=1e-6)
+
+
+def test_median_filter_short_input_passthrough():
+    x = np.ones((2,), np.float32)
+    np.testing.assert_array_equal(median_filter(x, 7), x)
+
+
+@pytest.mark.parametrize("shape", [(5, 8), (20, 31), (1, 10), (17, 17)])
+def test_dtw_parity(shape):
+    from whisper.timing import dtw_cpu as ref_dtw  # numba stubbed -> pure python
+
+    rng = np.random.RandomState(shape[0] * 100 + shape[1])
+    x = rng.randn(*shape).astype(np.float32)
+    ref = ref_dtw(x.astype(np.float64))
+    ours = dtw(-(-x))  # via wavefront + backtrace
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_backtrace_matches_reference_semantics():
+    # build a trace through the wavefront and re-run the reference backtrace
+    from whisper.timing import backtrace as ref_backtrace
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(6, 9)
+    trace = dtw_wavefront_numpy(x)
+    ref = ref_backtrace(trace.copy())
+    ours = backtrace(trace.copy())
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_find_alignment_parity(models):
+    import torch
+    from whisper.timing import find_alignment as ref_find_alignment
+
+    ref_model, our_model = models
+    tok = get_tokenizer(False)  # en-only: sot_sequence = (sot,)
+    rng = np.random.RandomState(5)
+    mel = (rng.randn(DIMS.n_mels, DIMS.n_audio_ctx * 2) * 0.4).astype(np.float32)
+    text_tokens = tok.encode(" hello there how are you")
+    num_frames = 160
+
+    ref_words = ref_find_alignment(
+        ref_model, tok, text_tokens, torch.from_numpy(mel), num_frames
+    )
+    our_words = T.find_alignment(our_model, tok, text_tokens, mel, num_frames)
+
+    assert len(our_words) == len(ref_words)
+    for o, r in zip(our_words, ref_words):
+        assert o.word == r.word
+        assert o.tokens == r.tokens
+        np.testing.assert_allclose(o.start, r.start, atol=0.03)
+        np.testing.assert_allclose(o.end, r.end, atol=0.03)
+        np.testing.assert_allclose(o.probability, r.probability, atol=1e-3)
+
+
+def test_find_alignment_empty_tokens(models):
+    _, our_model = models
+    tok = get_tokenizer(False)
+    assert T.find_alignment(our_model, tok, [], np.zeros((80, 192), np.float32), 100) == []
+
+
+def test_add_word_timestamps_parity(models):
+    import torch
+    from whisper.timing import add_word_timestamps as ref_awt
+
+    ref_model, our_model = models
+    tok = get_tokenizer(False)
+    rng = np.random.RandomState(6)
+    mel = (rng.randn(DIMS.n_mels, DIMS.n_audio_ctx * 2) * 0.4).astype(np.float32)
+    toks = tok.encode(" the quick brown fox jumps.")
+    mid = len(toks) // 2
+
+    def mk_segments():
+        return [
+            {"seek": 0, "start": 0.0, "end": 1.0, "tokens": list(toks[:mid])},
+            {"seek": 0, "start": 1.0, "end": 2.0, "tokens": list(toks[mid:])},
+        ]
+
+    segs_ref = mk_segments()
+    ref_awt(
+        segments=segs_ref, model=ref_model, tokenizer=tok,
+        mel=torch.from_numpy(mel), num_frames=160, last_speech_timestamp=0.0,
+    )
+    segs_ours = mk_segments()
+    T.add_word_timestamps(
+        segments=segs_ours, model=our_model, tokenizer=tok,
+        mel=mel, num_frames=160, last_speech_timestamp=0.0,
+    )
+    for so, sr in zip(segs_ours, segs_ref):
+        assert len(so["words"]) == len(sr["words"])
+        for wo, wr in zip(so["words"], sr["words"]):
+            assert wo["word"] == wr["word"]
+            np.testing.assert_allclose(wo["start"], wr["start"], atol=0.03)
+            np.testing.assert_allclose(wo["end"], wr["end"], atol=0.03)
+        np.testing.assert_allclose(so["start"], sr["start"], atol=0.03)
+        np.testing.assert_allclose(so["end"], sr["end"], atol=0.03)

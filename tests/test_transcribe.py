@@ -158,3 +158,26 @@ def test_writer_parity(tmp_path, fmt, writer_args):
     ref_out = (ref_dir / f"audio.{fmt}").read_text()
     our_out = (our_dir / f"audio.{fmt}").read_text()
     assert our_out == ref_out
+
+
+def test_transcribe_word_timestamps_parity(models, wave):
+    """Full pipeline with word timestamps (DTW alignment path)."""
+    ref_model, our_model = models
+    common = dict(
+        without_timestamps=True,
+        sample_len=12,
+        temperature=0.0,
+        fp16=False,
+        word_timestamps=True,
+        verbose=None,
+    )
+    ref = ref_model.transcribe(wave, **common)
+    ours = transcribe(our_model, wave, **common)
+    assert ours["text"] == ref["text"]
+    assert len(ours["segments"]) == len(ref["segments"])
+    for so, sr in zip(ours["segments"], ref["segments"]):
+        assert len(so["words"]) == len(sr["words"])
+        for wo, wr in zip(so["words"], sr["words"]):
+            assert wo["word"] == wr["word"]
+            np.testing.assert_allclose(wo["start"], wr["start"], atol=0.05)
+            np.testing.assert_allclose(wo["end"], wr["end"], atol=0.05)
