@@ -1,0 +1,183 @@
+"""Sharding correctness on the 8-virtual-device CPU mesh: dp and tp must be
+numerically equivalent to single-device execution."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_ttl_mtl_tpu.models import whisper as W
+from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+from asr_ttl_mtl_tpu.parallel import (
+    create_mesh,
+    data_sharding,
+    param_shardings,
+    shard_params,
+)
+
+DIMS = ModelDimensions(
+    n_mels=80,
+    n_audio_ctx=64,
+    n_audio_state=64,
+    n_audio_head=4,
+    n_audio_layer=2,
+    n_vocab=512,
+    n_text_ctx=32,
+    n_text_state=64,
+    n_text_head=4,
+    n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return W.init_params(jax.random.PRNGKey(0), DIMS)
+
+
+def _mel(batch, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(batch, DIMS.n_mels, DIMS.n_audio_ctx * 2).astype(np.float32)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = create_mesh((0, 1))
+    assert dict(mesh.shape) == {"dp": 8, "tp": 1}
+    mesh = create_mesh((2, 4))
+    assert dict(mesh.shape) == {"dp": 2, "tp": 4}
+
+
+def test_tp_param_specs():
+    mesh = create_mesh((4, 2))
+    params = W.init_params(jax.random.PRNGKey(0), DIMS)
+    shardings = param_shardings(params, mesh)
+    blk = shardings["encoder"]["blocks"][0]
+    assert blk["attn"]["query"]["w"].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert blk["attn"]["out"]["w"].spec == jax.sharding.PartitionSpec("tp", None)
+    assert blk["mlp"]["fc1"]["w"].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert blk["mlp"]["fc2"]["w"].spec == jax.sharding.PartitionSpec("tp", None)
+    # replicated leaves
+    assert shardings["decoder"]["token_embedding"].spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_encoder_forward_sharded_matches_single(params, mesh_shape):
+    mel = _mel(8)
+    ref = np.asarray(W.encoder_apply(params, DIMS, jnp.asarray(mel)))
+
+    mesh = create_mesh(mesh_shape)
+    p = shard_params(params, mesh)
+    x = jax.device_put(jnp.asarray(mel), data_sharding(mesh, 3))
+    out = jax.jit(lambda p, x: W.encoder_apply(p, DIMS, x))(p, x)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+def test_decoder_forward_sharded_matches_single(params, mesh_shape):
+    mel = _mel(8, seed=1)
+    rng = np.random.RandomState(2)
+    toks = rng.randint(0, DIMS.n_vocab, size=(8, 12)).astype(np.int32)
+
+    feats = W.encoder_apply(params, DIMS, jnp.asarray(mel))
+    ref, _, _ = W.decoder_apply(params, DIMS, jnp.asarray(toks), feats)
+    ref = np.asarray(ref)
+
+    mesh = create_mesh(mesh_shape)
+    p = shard_params(params, mesh)
+    x = jax.device_put(jnp.asarray(mel), data_sharding(mesh, 3))
+    t = jax.device_put(jnp.asarray(toks), data_sharding(mesh, 2))
+
+    def fwd(p, x, t):
+        feats = W.encoder_apply(p, DIMS, x)
+        logits, _, _ = W.decoder_apply(p, DIMS, t, feats)
+        return logits
+
+    out = jax.jit(fwd)(p, x, t)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-4)
+
+
+def test_dp_gradients_match_single_device(params):
+    """Data-parallel grads over the mesh == single-device grads on the same
+    global batch (XLA's psum must reproduce serial accumulation)."""
+    mel = _mel(8, seed=3)
+    rng = np.random.RandomState(4)
+    toks = rng.randint(0, DIMS.n_vocab, size=(8, 10)).astype(np.int32)
+    targets = rng.randint(0, DIMS.n_vocab, size=(8, 10)).astype(np.int32)
+
+    def loss_fn(p, mel, toks, targets):
+        logits = W.model_apply(p, DIMS, mel, toks)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return -tok_lp.mean()
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(
+        params, jnp.asarray(mel), jnp.asarray(toks), jnp.asarray(targets)
+    )
+
+    mesh = create_mesh((8, 1))
+    p = shard_params(params, mesh)
+    args = (
+        jax.device_put(jnp.asarray(mel), data_sharding(mesh, 3)),
+        jax.device_put(jnp.asarray(toks), data_sharding(mesh, 2)),
+        jax.device_put(jnp.asarray(targets), data_sharding(mesh, 2)),
+    )
+    dp_loss, dp_grads = jax.jit(jax.value_and_grad(loss_fn))(p, *args)
+
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves(ref_grads)
+    flat_dp = jax.tree_util.tree_leaves(dp_grads)
+    for a, b in zip(flat_ref, flat_dp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-3)
+
+
+def test_mtl_train_step_dp_tp(tmp_path):
+    """Full MTL training step runs under a (4,2) mesh and matches the (1,1)
+    mesh loss on the same batch."""
+    from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
+
+    def make(mesh_shape, seed=0):
+        return MultiTaskTrainer(
+            TrainingConfig(
+                model_size="tiny.en",
+                pretrained="random",
+                debug_dims=dict(
+                    n_mels=80, n_audio_ctx=100, n_audio_state=64, n_audio_head=4,
+                    n_audio_layer=1, n_vocab=51864, n_text_ctx=48, n_text_state=64,
+                    n_text_head=4, n_text_layer=1,
+                ),
+                audio_samples=32000,
+                compute_dtype="float32",
+                mesh_shape=mesh_shape,
+                batch_size=8,
+                seed=seed,
+            ),
+            verbose=False,
+        )
+
+    rng = np.random.RandomState(0)
+    tok_ids = rng.randint(100, 40000, size=(8, 16)).astype(np.int32)
+    batch = {
+        "audio": rng.randn(8, 32000).astype(np.float32) * 0.05,
+        "input_tokens": tok_ids,
+        "target_tokens": np.concatenate(
+            [tok_ids[:, 1:], np.full((8, 1), -100, np.int32)], axis=1
+        ),
+        "classes": np.asarray([i % 3 for i in range(8)], np.int32),
+    }
+
+    losses = {}
+    for shape in [(1, 1), (8, 1), (4, 2)]:
+        trainer = make(shape)
+        dev, _ = trainer._device_batch(batch)
+        step = trainer._get_train_step()
+        _, _, loss, aux = step(
+            trainer._trainable(), trainer.opt_state,
+            dev["audio"], dev["input_tokens"], dev["target_tokens"], dev["classes"],
+            jnp.asarray(0.5, jnp.float32), jnp.asarray(0.5, jnp.float32),
+            jax.random.PRNGKey(0),
+        )
+        losses[shape] = float(loss)
+
+    np.testing.assert_allclose(losses[(8, 1)], losses[(1, 1)], rtol=1e-5)
+    np.testing.assert_allclose(losses[(4, 2)], losses[(1, 1)], rtol=1e-5)
