@@ -23,7 +23,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..audio import N_SAMPLES, load_audio, pad_or_trim
+from ..audio import N_SAMPLES, SAMPLE_RATE, load_audio, pad_or_trim
 from ..tokenizer import Tokenizer, get_tokenizer
 from .config import TrainingConfig
 
@@ -172,6 +172,54 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _native_batch(self, idxs):
+        """Fast path: decode+resample+pad a whole batch's audio with ONE call
+        into the C++ runtime's thread pool (runtime/wav.py:load_batch) —
+        no per-sample Python in the audio loop. Returns None when the native
+        library is unavailable or the batch has non-WAV files (then the
+        per-item path with its ffmpeg fallback handles it)."""
+        ds = self.dataset
+        try:
+            from ..runtime import wav as cwav
+        except ImportError:
+            return None
+        rows = [ds.df.iloc[int(i)] for i in idxs]
+        paths = [str(r["file"]) for r in rows]
+        if not all(p.lower().endswith(".wav") for p in paths):
+            return None
+        n_samples = getattr(ds.config, "audio_samples", N_SAMPLES)
+        audio_mat, status = cwav.load_batch(
+            paths, SAMPLE_RATE, n_samples, n_threads=self.num_workers
+        )
+        items = []
+        for i, row in enumerate(rows):
+            if status[i] < 0:
+                print(f"Error loading audio {paths[i]}: native decode {status[i]}")
+            try:
+                text = str(row["text"])
+                class_id = int(row["class"])
+                seq = ds.create_sequence_with_disease_context(text, class_id)
+                items.append({
+                    "audio": audio_mat[i],
+                    "input_tokens": seq[:-1],
+                    "target_tokens": seq[1:],
+                    "class": class_id,
+                    "text": text,
+                    "path": paths[i],
+                })
+            except Exception as e:  # dummy-sample fallback (reference dataset.py:158-174)
+                print(f"Error loading sample {idxs[i]}: {e}")
+                seq = ds.create_sequence_with_disease_context("", 0)
+                items.append({
+                    "audio": np.zeros((n_samples,), dtype=np.float32),
+                    "input_tokens": seq[:-1],
+                    "target_tokens": seq[1:],
+                    "class": 0,
+                    "text": "",
+                    "path": paths[i],
+                })
+        return items
+
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -194,7 +242,9 @@ class DataLoader:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    items = self._native_batch(idxs)
+                    if items is None:
+                        items = list(pool.map(self.dataset.__getitem__, idxs))
                     out_q.put(collate(items, self.dataset.tokenizer, self.buckets))
             out_q.put(None)
 
