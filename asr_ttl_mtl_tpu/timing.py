@@ -125,7 +125,11 @@ def find_alignment(
 
     matrix = weights.mean(axis=0)
     matrix = matrix[len(tokenizer.sot_sequence) : -1]
-    text_indices, time_indices = dtw(-matrix)
+    # on TPU the wavefront DP fill runs as the Pallas kernel (ops/pallas_dtw.py,
+    # the reference's triton_ops.py:13-40 equivalent); host numpy elsewhere
+    text_indices, time_indices = dtw(
+        -matrix, use_device=jax.default_backend() == "tpu"
+    )
 
     words, word_tokens = tokenizer.split_to_word_tokens(list(text_tokens) + [tokenizer.eot])
     if len(word_tokens) <= 1:
