@@ -89,6 +89,28 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
+# Pallas flash attention is used on TPU whenever the structured mask info
+# below describes the attention pattern (it always does in this codebase) and
+# the query side is long enough for the fused kernel to win; single-token
+# decode steps and the CPU backend take the einsum path.
+_FLASH = {"enabled": True}
+
+
+def set_flash_attention(enabled: bool) -> None:
+    """Globally enable/disable the Pallas flash-attention fast path."""
+    _FLASH["enabled"] = bool(enabled)
+
+
+def _flash_eligible(tq: int, return_qk: bool, q_offset: Any) -> bool:
+    return (
+        _FLASH["enabled"]
+        and not return_qk
+        and tq >= 16
+        and isinstance(q_offset, int)
+        and jax.default_backend() == "tpu"
+    )
+
+
 def qkv_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -96,18 +118,39 @@ def qkv_attention(
     n_head: int,
     mask: Optional[jnp.ndarray] = None,
     return_qk: bool = False,
+    *,
+    causal: bool = False,
+    q_offset: Any = 0,
+    kv_valid_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scaled dot-product attention over (B, T, D) projections.
 
     Matches reference model.py:114-139: both q and k scaled by d_head**-0.25,
     softmax in fp32. `mask` is an additive fp32 mask broadcastable to
-    (B, n_head, Tq, Tk).
+    (B, n_head, Tq, Tk); `causal`/`q_offset`/`kv_valid_len` describe the same
+    pattern structurally so the Pallas flash kernel (ops/flash_attention.py)
+    can be used on TPU without materializing the (Tq, Tk) logits.
     """
     d_head = q.shape[-1] // n_head
     scale = d_head**-0.25
     q = _split_heads(q, n_head) * jnp.asarray(scale, q.dtype)
     k = _split_heads(k, n_head) * jnp.asarray(scale, k.dtype)
     v = _split_heads(v, n_head)
+
+    if _flash_eligible(q.shape[2], return_qk, q_offset):
+        from ..ops.flash_attention import flash_attention_vjp
+
+        b, h, tq, d = q.shape
+        tk = k.shape[2]
+        out = flash_attention_vjp(
+            q.reshape(b * h, tq, d),
+            k.reshape(b * h, tk, d),
+            v.reshape(b * h, tk, d),
+            causal,
+            q_offset,
+            kv_valid_len,
+        ).reshape(b, h, tq, d)
+        return _merge_heads(out), None
 
     qk = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=_F32)
     if mask is not None:
@@ -238,7 +281,12 @@ def decoder_apply(
         key_pos = jnp.arange(kv_len)  # (Tk,)
         mask = jnp.where(key_pos[None, :] > q_pos[:, None], neg, 0.0)[None, None]
 
-    new_k, new_v = [], []
+    # cache buffers are updated in place along the layer axis — the carried
+    # (L, B, T, D) arrays stay whole, so XLA can alias them across
+    # while_loop iterations instead of re-materializing a stacked copy
+    # every decode step
+    cache_k = kv_cache["k"] if kv_cache is not None else None
+    cache_v = kv_cache["v"] if kv_cache is not None else None
     cross_qks = []
     for li, block in enumerate(p["blocks"]):
         # --- causal self-attention ---
@@ -246,12 +294,12 @@ def decoder_apply(
         h = layer_norm(block["attn_ln"], x)
         q, k, v = _mha_project_qkv(block["attn"], h)
         if kv_cache is not None:
-            k_buf = jax.lax.dynamic_update_slice(kv_cache["k"][li], k, (0, pos_offset, 0))
-            v_buf = jax.lax.dynamic_update_slice(kv_cache["v"][li], v, (0, pos_offset, 0))
-            new_k.append(k_buf)
-            new_v.append(v_buf)
-            k, v = k_buf, v_buf
-        att, _ = qkv_attention(q, k, v, dims.n_text_head, mask=mask)
+            cache_k = jax.lax.dynamic_update_slice(cache_k, k[None], (li, 0, pos_offset, 0))
+            cache_v = jax.lax.dynamic_update_slice(cache_v, v[None], (li, 0, pos_offset, 0))
+            k, v = cache_k[li], cache_v[li]
+        att, _ = qkv_attention(
+            q, k, v, dims.n_text_head, mask=mask, causal=True, q_offset=pos_offset
+        )
         x = res + linear(block["attn"]["out"], att)
 
         # --- cross-attention ---
@@ -280,7 +328,7 @@ def decoder_apply(
     )  # tied embeddings (reference model.py:245-247)
 
     updated_cache = (
-        {"k": jnp.stack(new_k), "v": jnp.stack(new_v)} if kv_cache is not None else None
+        {"k": cache_k, "v": cache_v} if kv_cache is not None else None
     )
     cross_qk = jnp.stack(cross_qks) if return_cross_qk else None
     return logits, updated_cache, cross_qk

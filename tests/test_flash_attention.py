@@ -1,0 +1,92 @@
+"""Pallas flash-attention kernel vs the plain einsum+softmax reference path.
+
+Runs the kernel in interpret mode on CPU (the tests' forced platform); the
+same code compiles via Mosaic on TPU. Mirrors the numerics contract of
+models/whisper.py:qkv_attention (reference whisper/model.py:114-139).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention, flash_attention_bhtd
+
+
+def reference_attention(q, k, v, causal=False, q_offset=0, kv_valid_len=None):
+    tq, tk = q.shape[1], k.shape[1]
+    s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32)
+    mask = jnp.ones((tq, tk), bool)
+    if kv_valid_len is not None:
+        mask &= jnp.arange(tk)[None, :] < kv_valid_len
+    if causal:
+        mask &= jnp.arange(tk)[None, :] <= (q_offset + jnp.arange(tq))[:, None]
+    s = jnp.where(mask[None], s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", w, v.astype(jnp.float32))
+
+
+def run_case(bh, tq, tk, d, seed=0, **kwargs):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(bh, tq, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(bh, tk, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(bh, tk, d).astype(np.float32))
+    got = flash_attention(q, k, v, interpret=True, **kwargs)
+    want = reference_attention(q, k, v, **{
+        key: val for key, val in kwargs.items() if key not in ("block_q", "block_k")
+    })
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+class TestFlashAttention:
+    def test_no_mask_aligned(self):
+        run_case(2, 256, 512, 64, block_q=128, block_k=256)
+
+    def test_no_mask_unaligned_lengths(self):
+        # encoder shape: 1500 isn't a block multiple — padded tail keys masked
+        run_case(2, 300, 300, 64, block_q=128, block_k=128)
+
+    def test_kv_valid_len(self):
+        run_case(2, 128, 384, 64, kv_valid_len=301, block_q=128, block_k=128)
+
+    def test_causal(self):
+        run_case(2, 256, 256, 64, causal=True, block_q=128, block_k=128)
+
+    def test_causal_offset(self):
+        # prefill into a longer KV buffer: queries at absolute [5, 5+64)
+        run_case(2, 64, 448, 64, causal=True, q_offset=5, block_q=128, block_k=128)
+
+    def test_causal_offset_unaligned(self):
+        run_case(1, 37, 448, 64, causal=True, q_offset=11, block_q=128, block_k=128)
+
+    def test_single_kblock(self):
+        run_case(3, 128, 128, 64, block_q=128, block_k=128)
+
+    def test_bf16_inputs(self):
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(2, 256, 64).astype(np.float32)).astype(jnp.bfloat16)
+        k = jnp.asarray(rng.randn(2, 256, 64).astype(np.float32)).astype(jnp.bfloat16)
+        v = jnp.asarray(rng.randn(2, 256, 64).astype(np.float32)).astype(jnp.bfloat16)
+        got = flash_attention(q, k, v, interpret=True)
+        want = reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=3e-2, rtol=3e-2
+        )
+
+    def test_bhtd_wrapper(self):
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(2, 4, 128, 64).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 4, 256, 64).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 4, 256, 64).astype(np.float32))
+        got = flash_attention_bhtd(q, k, v, interpret=True)
+        want = reference_attention(
+            q.reshape(8, 128, 64), k.reshape(8, 256, 64), v.reshape(8, 256, 64)
+        ).reshape(2, 4, 128, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    def test_whisper_encoder_shape(self):
+        # the real encoder case: Tq = Tk = 1500, d = 64
+        run_case(1, 1500, 1500, 64, seed=3, block_q=256, block_k=512)
