@@ -41,7 +41,9 @@ if TYPE_CHECKING:
     from .models.registry import WhisperModel
 
 _F32 = jnp.float32
-_NEG = jnp.asarray(-1e9, _F32)  # effective -inf that keeps softmax finite
+# effective -inf that keeps softmax finite; a Python float (not a device
+# array) so importing this module never initializes a backend
+_NEG = -1e9
 
 _PROMPT_BUCKETS = (8, 16, 32, 64, 128, 256)
 
@@ -260,11 +262,16 @@ def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, co
             logprobs = jax.nn.log_softmax(logits, axis=-1)
 
             rng, sub = jax.random.split(s["rng"])
-            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            sampled_tok = jax.random.categorical(
-                sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
-            ).astype(jnp.int32)
-            next_tok = jnp.where(temperature == 0.0, greedy_tok, sampled_tok)
+            # lax.cond so the t=0 ladder rung doesn't pay for gumbel noise
+            # over the whole vocab every step (both branches compile once;
+            # only one executes per call)
+            next_tok = jax.lax.cond(
+                temperature == 0.0,
+                lambda: jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                lambda: jax.random.categorical(
+                    sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+                ).astype(jnp.int32),
+            )
 
             cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
             # freeze finished rows: force EOT, stop accumulating logprob

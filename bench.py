@@ -16,14 +16,21 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat bench runs skip the multi-minute
+# first-compile of the fused decode program
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
     from asr_ttl_mtl_tpu.models import from_random
