@@ -59,11 +59,13 @@ def _build_beam_loop(
     compute_dtype = jnp.dtype(compute_dtype_name)
     K, C = beam_size, max_candidates
     buf_len = bucket + sample_len
+    # cache bounded to the decode horizon, 128-aligned for TPU tiling
+    cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
 
     def run(params, cross_kv, initial_tokens, valid_len, sot_index, no_speech_token):
         BK = initial_tokens.shape[0]
         B = BK // K
-        cache = W.init_kv_cache(dims, BK, compute_dtype)
+        cache = W.init_kv_cache(dims, BK, compute_dtype, ctx=cache_len)
 
         prefill_logits, cache, _ = W.decoder_apply(
             params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
@@ -239,10 +241,10 @@ def run_beam_search(
     fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = loop(
         task.model.params,
         cross_kv,
-        jnp.asarray(padded),
-        jnp.asarray(valid_len, jnp.int32),
-        jnp.asarray(task.sot_index, jnp.int32),
-        jnp.asarray(no_speech, jnp.int32),
+        padded,
+        np.int32(valid_len),
+        np.int32(task.sot_index),
+        np.int32(no_speech),
     )
     fin_tokens = np.asarray(fin_tokens)
     fin_scores = np.asarray(fin_scores)

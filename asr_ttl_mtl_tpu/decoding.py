@@ -83,6 +83,13 @@ class DecodingOptions:
     # (bf16 on TPU) vs full fp32
     fp16: bool = True
 
+    # the reference's DecodingResult always carries the encoder output
+    # (decoding.py:117-127) but nothing in its pipeline consumes it; the
+    # device->host copy of (B, 1500, D) features costs more than the whole
+    # decode loop on TPU, so it is opt-in here (lang_id results always
+    # include features)
+    return_audio_features: bool = False
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -201,17 +208,24 @@ def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, co
 
     Returns fn(params, cross_kv, initial_tokens (B, bucket) int32,
     valid_len scalar, sot_index scalar, no_speech_token scalar (-1: skip),
-    temperature scalar, rng) -> (tokens_buf (B, bucket+sample_len),
-    sum_logprobs (B,), no_speech_probs (B,), n_sampled scalar)
+    temperature scalar, rng_seed scalar int32) -> (tokens_buf
+    (B, bucket+sample_len), sum_logprobs (B,), no_speech_probs (B,),
+    n_sampled scalar). All scalars may be raw numpy — they ride the single
+    jit dispatch instead of separate device_put round-trips (which cost
+    real milliseconds over a remote-attached TPU).
     """
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
     buf_len = bucket + sample_len
 
-    def run(params, cross_kv, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng):
+    # cache bounded to the decode horizon, 128-aligned for TPU tiling
+    cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
+
+    def run(params, cross_kv, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng_seed):
+        rng = jax.random.PRNGKey(rng_seed)
         B = initial_tokens.shape[0]
-        cache = W.init_kv_cache(dims, B, compute_dtype)
+        cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
 
         prefill_logits, cache, _ = W.decoder_apply(
             params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
@@ -483,6 +497,12 @@ class DecodingTask:
     # --- option/initial-token plumbing (reference decoding.py:572-642) -----
 
     def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        if options.beam_size is not None and options.beam_size < 1:
+            raise ValueError(f"beam_size must be >= 1, got {options.beam_size}")
+        if options.best_of is not None and options.best_of < 1:
+            raise ValueError(f"best_of must be >= 1, got {options.best_of}")
+        if options.patience is not None and options.patience < 1:
+            raise ValueError(f"patience must be >= 1.0, got {options.patience}")
         if options.beam_size is not None and options.best_of is not None:
             raise ValueError("beam_size and best_of can't be given together")
         if options.temperature == 0 and options.best_of is not None:
@@ -603,10 +623,12 @@ class DecodingTask:
         final_sum_lp = [lp[i] for i, lp in zip(selected, sum_logprobs)]
         avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(final_tokens, final_sum_lp)]
 
-        feats_np = np.asarray(feats)
+        feats_np = (
+            np.asarray(feats) if self.options.return_audio_features else None
+        )
         return [
             DecodingResult(
-                audio_features=feats_np[i],
+                audio_features=feats_np[i] if feats_np is not None else None,
                 language=languages[i],
                 tokens=final_tokens[i],
                 text=texts[i],
@@ -640,12 +662,12 @@ class DecodingTask:
         buf, sum_lp, ns_probs, n_sampled = loop(
             self.model.params,
             cross_kv,
-            jnp.asarray(padded),
-            jnp.asarray(valid_len, jnp.int32),
-            jnp.asarray(self.sot_index, jnp.int32),
-            jnp.asarray(no_speech, jnp.int32),
-            jnp.asarray(self.options.temperature, jnp.float32),
-            jax.random.PRNGKey(rng_seed),
+            padded,
+            np.int32(valid_len),
+            np.int32(self.sot_index),
+            np.int32(no_speech),
+            np.float32(self.options.temperature),
+            np.int32(rng_seed),
         )
         buf = np.asarray(buf)
         sum_lp = np.asarray(sum_lp)

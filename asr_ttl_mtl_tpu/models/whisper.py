@@ -91,14 +91,33 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 # Pallas flash attention is used on TPU whenever the structured mask info
 # below describes the attention pattern (it always does in this codebase) and
-# the query side is long enough for the fused kernel to win; single-token
-# decode steps and the CPU backend take the einsum path.
-_FLASH = {"enabled": True}
+# the query side is long enough for the fused kernel to win; the CPU backend
+# takes the einsum path. Single-token decode steps use the dedicated fused
+# decode-attention kernel (ops/decode_attention.py) — XLA's einsum lowering
+# for Tq=1 converts the whole bf16 KV cache to fp32 in HBM every step.
+_FLASH = {"enabled": True, "decode_kernel": "auto"}  # "auto" | "off" | "interpret"
 
 
 def set_flash_attention(enabled: bool) -> None:
     """Globally enable/disable the Pallas flash-attention fast path."""
     _FLASH["enabled"] = bool(enabled)
+
+
+def set_decode_kernel(mode: str) -> None:
+    """Pallas decode-attention mode: "auto" (on TPU), "off", or "interpret"
+    (force the kernel in interpreter mode — CPU integration tests)."""
+    assert mode in ("auto", "off", "interpret")
+    _FLASH["decode_kernel"] = mode
+
+
+def _decode_kernel_state() -> tuple:
+    """(use_kernel, interpret) for the current backend/config."""
+    mode = _FLASH["decode_kernel"]
+    if mode == "interpret":
+        return True, True
+    if mode == "off" or not _FLASH["enabled"]:
+        return False, False
+    return jax.default_backend() == "tpu", False
 
 
 def _flash_eligible(tq: int, return_qk: bool, q_offset: Any) -> bool:
@@ -133,8 +152,8 @@ def qkv_attention(
     """
     d_head = q.shape[-1] // n_head
     scale = d_head**-0.25
-    q = _split_heads(q, n_head) * jnp.asarray(scale, q.dtype)
-    k = _split_heads(k, n_head) * jnp.asarray(scale, k.dtype)
+    q = _split_heads(q, n_head)
+    k = _split_heads(k, n_head)
     v = _split_heads(v, n_head)
 
     if _flash_eligible(q.shape[2], return_qk, q_offset):
@@ -142,6 +161,7 @@ def qkv_attention(
 
         b, h, tq, d = q.shape
         tk = k.shape[2]
+        # unscaled q/k: the kernel folds d**-0.5 into the fp32 scores
         out = flash_attention_vjp(
             q.reshape(b * h, tq, d),
             k.reshape(b * h, tk, d),
@@ -149,9 +169,13 @@ def qkv_attention(
             causal,
             q_offset,
             kv_valid_len,
+            float(d_head**-0.5),
         ).reshape(b, h, tq, d)
         return _merge_heads(out), None
 
+    # reference numerics (model.py:114-122): both sides scaled by d**-0.25
+    q = q * jnp.asarray(scale, q.dtype)
+    k = k * jnp.asarray(scale, k.dtype)
     qk = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=_F32)
     if mask is not None:
         qk = qk + mask
@@ -208,10 +232,19 @@ def encoder_apply(
 
 
 def init_kv_cache(
-    dims: ModelDimensions, batch: int, compute_dtype: jnp.dtype = jnp.float32
+    dims: ModelDimensions,
+    batch: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+    ctx: Optional[int] = None,
 ) -> Params:
-    """Preallocated static-shape self-attention cache for all decoder layers."""
-    shape = (dims.n_text_layer, batch, dims.n_text_ctx, dims.n_text_state)
+    """Preallocated static-shape self-attention cache for all decoder layers.
+
+    `ctx` bounds the cache to the actual decode horizon (prompt bucket +
+    sample_len) instead of the full n_text_ctx — the decode-step attention
+    reads the whole buffer every step, so a 448-slot cache costs 3.5x the
+    HBM traffic of a 128-slot one when only 72 positions are ever written.
+    """
+    shape = (dims.n_text_layer, batch, ctx or dims.n_text_ctx, dims.n_text_state)
     return {"k": jnp.zeros(shape, compute_dtype), "v": jnp.zeros(shape, compute_dtype)}
 
 
@@ -277,7 +310,7 @@ def decoder_apply(
         kv_len = None
     else:
         q_pos = pos_offset + jnp.arange(T)  # (T,)
-        kv_len = dims.n_text_ctx
+        kv_len = kv_cache["k"].shape[2]
         key_pos = jnp.arange(kv_len)  # (Tk,)
         mask = jnp.where(key_pos[None, :] > q_pos[:, None], neg, 0.0)[None, None]
 
@@ -287,6 +320,17 @@ def decoder_apply(
     # every decode step
     cache_k = kv_cache["k"] if kv_cache is not None else None
     cache_v = kv_cache["v"] if kv_cache is not None else None
+
+    # single-token incremental step -> fused Pallas decode attention (streams
+    # the bf16 caches once; see ops/decode_attention.py for the HLO-profile
+    # rationale)
+    use_dk, dk_interpret = _decode_kernel_state()
+    fast_step = use_dk and T == 1 and kv_cache is not None and not return_cross_qk
+    if fast_step:
+        from ..ops.decode_attention import decode_attention
+
+    d_head_scale = float((dims.n_text_state // dims.n_text_head) ** -0.5)
+
     cross_qks = []
     for li, block in enumerate(p["blocks"]):
         # --- causal self-attention ---
@@ -296,20 +340,33 @@ def decoder_apply(
         if kv_cache is not None:
             cache_k = jax.lax.dynamic_update_slice(cache_k, k[None], (li, 0, pos_offset, 0))
             cache_v = jax.lax.dynamic_update_slice(cache_v, v[None], (li, 0, pos_offset, 0))
-            k, v = cache_k[li], cache_v[li]
-        att, _ = qkv_attention(
-            q, k, v, dims.n_text_head, mask=mask, causal=True, q_offset=pos_offset
-        )
+        if fast_step:
+            att = decode_attention(
+                q, cache_k, cache_v, li, dims.n_text_head,
+                scale=d_head_scale, valid_upto=pos_offset, interpret=dk_interpret,
+            )
+        else:
+            if kv_cache is not None:
+                k, v = cache_k[li], cache_v[li]
+            att, _ = qkv_attention(
+                q, k, v, dims.n_text_head, mask=mask, causal=True, q_offset=pos_offset
+            )
         x = res + linear(block["attn"]["out"], att)
 
         # --- cross-attention ---
         res = x
         h = layer_norm(block["cross_attn_ln"], x)
         qc = linear(block["cross_attn"]["query"], h)
-        att, qk = qkv_attention(
-            qc, cross_kv["k"][li], cross_kv["v"][li], dims.n_text_head,
-            return_qk=return_cross_qk,
-        )
+        if fast_step:
+            att, qk = decode_attention(
+                qc, cross_kv["k"], cross_kv["v"], li, dims.n_text_head,
+                scale=d_head_scale, interpret=dk_interpret,
+            ), None
+        else:
+            att, qk = qkv_attention(
+                qc, cross_kv["k"][li], cross_kv["v"][li], dims.n_text_head,
+                return_qk=return_cross_qk,
+            )
         if return_cross_qk:
             cross_qks.append(qk)
         x = res + linear(block["cross_attn"]["out"], att)

@@ -1,0 +1,113 @@
+"""Fused single-token decode attention as a Pallas TPU kernel.
+
+Why this kernel exists: for a query of length 1 (the incremental decode
+step), XLA lowers the attention einsums to VPU multiply+reduce and — as the
+captured HLO profile shows — *converts the whole bf16 KV to fp32 in HBM
+every step* (two ~880 MB convert fusions per step at base/B=32, 46% of the
+decode program). This kernel streams the bf16 cache through VMEM exactly
+once per layer: per (batch) program it loads the layer's (Tk, D) K/V block,
+does per-head MXU matvecs with fp32 scores, an in-VMEM softmax, and writes
+the merged (1, D) output. No fp32 KV materialization, no head transpose.
+
+Works directly on the framework's cache layouts (models/whisper.py):
+  * self-attention cache  (L, B, n_text_ctx, D), valid keys <= position
+  * cross-attention cache (L, B, n_audio_ctx, D), all keys valid
+
+The softmax scale (d_head**-0.5) is folded into the fp32 scores, matching
+reference whisper/model.py:114-122 numerics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _decode_attn_kernel(
+    valid_ref,  # (1, 1) int32 in SMEM: highest valid key position (-1: all)
+    q_ref,      # (1, 1, D)
+    k_ref,      # (1, 1, Tk, D)
+    v_ref,      # (1, 1, Tk, D)
+    o_ref,      # (1, 1, D)
+    *,
+    n_head: int,
+    scale: float,
+    tk: int,
+):
+    d = q_ref.shape[-1]
+    dh = d // n_head
+    k = k_ref[0, 0]  # (Tk, D)
+    v = v_ref[0, 0]
+
+    valid_upto = valid_ref[0, 0]
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+    masked = (valid_upto >= 0) & (key_pos > valid_upto)
+
+    for h in range(n_head):
+        qh = q_ref[0, :, h * dh : (h + 1) * dh]  # (1, dh)
+        kh = k[:, h * dh : (h + 1) * dh]         # (Tk, dh)
+        vh = v[:, h * dh : (h + 1) * dh]
+
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (1, Tk)
+        s = jnp.where(masked, _NEG_INF, s * scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        out = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (1, dh)
+        o_ref[0, :, h * dh : (h + 1) * dh] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("layer", "n_head", "scale", "interpret"))
+def decode_attention(
+    q: jnp.ndarray,      # (B, 1, D)
+    cache_k: jnp.ndarray,  # (L, B, Tk, D)
+    cache_v: jnp.ndarray,  # (L, B, Tk, D)
+    layer: int,
+    n_head: int,
+    *,
+    scale: float,
+    valid_upto=None,  # traced int32 scalar; None = every key valid (cross)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(scale * q @ K_layer^T) @ V_layer for a 1-token query.
+
+    Indexes the layer inside the BlockSpec so the (L, B, Tk, D) cache is
+    never sliced/copied in HBM. Returns (B, 1, D) in q.dtype.
+    """
+    _, b, tk, d = cache_k.shape
+    valid = jnp.full((1, 1), -1 if valid_upto is None else valid_upto, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda i: (layer, i, 0, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda i: (layer, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+    )
+
+    return pl.pallas_call(
+        functools.partial(_decode_attn_kernel, n_head=n_head, scale=scale, tk=tk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * tk * d,
+            bytes_accessed=2 * b * tk * d * cache_k.dtype.itemsize,
+            transcendentals=b * tk,
+        ),
+        interpret=interpret,
+    )(valid, q, cache_k, cache_v)

@@ -51,6 +51,7 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     q_offset: int,
+    scale: float,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -80,6 +81,10 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_k)
+        if scale != 1.0:
+            # softmax scaling folded into the fp32 scores (exact, VMEM-resident)
+            # instead of pre-scaling q/k in HBM
+            s = s * scale
 
         mask = k_pos < kv_len  # padded-tail keys
         if causal:
@@ -118,23 +123,42 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _default_blocks(tq: int, tk: int, causal: bool) -> tuple:
+    """Pick block sizes that keep the per-program work large (grid overhead
+    dominates tiny programs) while the fp32 score tile stays well under VMEM.
+
+    Non-causal long-kv (the encoder's 1500-key case): sweep the WHOLE key
+    axis in one grid step (block_k = tk rounded up, capped at 2048) so each
+    (bh, qi) program does one big MXU pass — with d=64, small blocks leave
+    the grid overhead-bound. Causal: square-ish blocks so the skip-predicate
+    removes ~half the work.
+    """
+    if causal:
+        return 256, 512
+    bk = min(_round_up(tk, 128), 2048)
+    # score tile (block_q, bk) fp32 <= ~6MB
+    bq = max(128, min(_round_up(tq, 128), (6 * 1024 * 1024 // 4) // bk // 128 * 128))
+    return bq, bk
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "q_offset", "kv_valid_len", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "q_offset", "kv_valid_len", "scale", "block_q", "block_k", "interpret"),
 )
 def flash_attention(
-    q: jnp.ndarray,  # (BH, Tq, d)  pre-scaled by d**-0.25
-    k: jnp.ndarray,  # (BH, Tk, d)  pre-scaled by d**-0.25
+    q: jnp.ndarray,  # (BH, Tq, d)
+    k: jnp.ndarray,  # (BH, Tk, d)
     v: jnp.ndarray,  # (BH, Tk, d)
     *,
     causal: bool = False,
     q_offset: int = 0,
     kv_valid_len: int | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    scale: float = 1.0,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """softmax(q @ k^T + mask) @ v, fused, over flattened (batch*heads).
+    """softmax(scale * q @ k^T + mask) @ v, fused, over flattened (batch*heads).
 
     `causal` masks key_pos > q_offset + query_pos (the KV-cache prefill rule
     of models/whisper.py:decoder_apply); `kv_valid_len` masks a padded key
@@ -144,6 +168,9 @@ def flash_attention(
     tk = k.shape[1]
     kv_len = kv_valid_len if kv_valid_len is not None else tk
 
+    dbq, dbk = _default_blocks(tq, tk, causal)
+    block_q = dbq if block_q is None else block_q
+    block_k = dbk if block_k is None else block_k
     block_q = min(block_q, _round_up(tq, 128))
     block_k = min(block_k, _round_up(tk, 128))
     tq_pad = _round_up(tq, block_q)
@@ -164,6 +191,7 @@ def flash_attention(
         block_q=block_q,
         block_k=block_k,
         q_offset=q_offset,
+        scale=scale,
     )
 
     out = pl.pallas_call(
@@ -221,24 +249,24 @@ def flash_attention_bhtd(
 # A fully-blocked Pallas backward is a later optimization.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention_vjp(q, k, v, causal=False, q_offset=0, kv_valid_len=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_vjp(q, k, v, causal=False, q_offset=0, kv_valid_len=None, scale=1.0):
     return flash_attention(
-        q, k, v, causal=causal, q_offset=q_offset, kv_valid_len=kv_valid_len
+        q, k, v, causal=causal, q_offset=q_offset, kv_valid_len=kv_valid_len, scale=scale
     )
 
 
-def _fa_fwd(q, k, v, causal, q_offset, kv_valid_len):
+def _fa_fwd(q, k, v, causal, q_offset, kv_valid_len, scale):
     out = flash_attention(
-        q, k, v, causal=causal, q_offset=q_offset, kv_valid_len=kv_valid_len
+        q, k, v, causal=causal, q_offset=q_offset, kv_valid_len=kv_valid_len, scale=scale
     )
     return out, (q, k, v)
 
 
-def _fa_bwd(causal, q_offset, kv_valid_len, res, g):
+def _fa_bwd(causal, q_offset, kv_valid_len, scale, res, g):
     q, k, v = res
     tq, tk = q.shape[1], k.shape[1]
-    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
     mask = jnp.ones((tq, tk), bool)
     if kv_valid_len is not None:
         mask &= jnp.arange(tk)[None, :] < kv_valid_len
@@ -250,8 +278,8 @@ def _fa_bwd(causal, q_offset, kv_valid_len, res, g):
     g32 = g.astype(jnp.float32)
     dv = jnp.einsum("bqk,bqd->bkd", p, g32).astype(v.dtype)
     dp = jnp.einsum("bqd,bkd->bqk", g32, v.astype(jnp.float32))
-    # softmax jacobian: dS = P * (dP - rowsum(dP * P))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # softmax jacobian: dS = P * (dP - rowsum(dP * P)); dS carries the scale
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
     dq = jnp.einsum("bqk,bkd->bqd", ds, k.astype(jnp.float32)).astype(q.dtype)
     dk = jnp.einsum("bqk,bqd->bkd", ds, q.astype(jnp.float32)).astype(k.dtype)
     return dq, dk, dv

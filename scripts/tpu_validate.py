@@ -147,6 +147,22 @@ def main():
     task.run(mels_f32)
     timeit("full DecodingTask.run B=32 64tok", lambda: task.run(mels_f32), n=3)
 
+    # --- 6. end-to-end greedy parity: fused decode kernel vs einsum path ---
+    res_kernel = task.run(mels_f32)
+    W.set_decode_kernel("off")
+    try:
+        res_einsum = task.run(mels_f32)
+    finally:
+        W.set_decode_kernel("auto")
+    same = sum(a.tokens == b.tokens for a, b in zip(res_kernel, res_einsum))
+    print(f"decode-kernel vs einsum: {same}/32 identical token sequences", flush=True)
+    if same < 32:
+        for i, (a, b) in enumerate(zip(res_kernel, res_einsum)):
+            if a.tokens != b.tokens:
+                # bf16 argmax near-ties can flip a token; print the first few
+                print(f"  [{i}] kernel={a.tokens[:12]}... einsum={b.tokens[:12]}...", flush=True)
+                break
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,113 @@
+"""Fused single-token decode-attention kernel (ops/decode_attention.py).
+
+Interpret-mode parity vs the plain einsum path, at both the kernel level and
+integrated into decoder_apply's incremental step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_ttl_mtl_tpu.models import whisper as W
+from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+from asr_ttl_mtl_tpu.ops.decode_attention import decode_attention
+
+
+def reference(q, k, v, n_head, scale, valid_upto=None):
+    b, _, d = q.shape
+    tk = k.shape[1]
+    dh = d // n_head
+    qh = q.reshape(b, 1, n_head, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, tk, n_head, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, tk, n_head, dh).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) * scale
+    if valid_upto is not None:
+        s = jnp.where(jnp.arange(tk)[None, None, None, :] > valid_upto, -jnp.inf, s)
+    w = jax.nn.softmax(s, -1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh.astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3).reshape(b, 1, d)
+
+
+def make(b, l, tk, d, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, 1, d).astype(np.float32) * 0.3)
+    ck = jnp.asarray(rng.randn(l, b, tk, d).astype(np.float32) * 0.3)
+    cv = jnp.asarray(rng.randn(l, b, tk, d).astype(np.float32))
+    return q, ck, cv
+
+
+class TestDecodeAttentionKernel:
+    def test_cross_all_valid(self):
+        q, ck, cv = make(3, 4, 300, 128)
+        for layer in (0, 3):
+            got = decode_attention(q, ck, cv, layer, 2, scale=0.125, interpret=True)
+            want = reference(q, ck[layer], cv[layer], 2, 0.125)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_self_masked_by_position(self):
+        q, ck, cv = make(2, 2, 64, 128, seed=1)
+        for pos in (0, 5, 63):
+            got = decode_attention(
+                q, ck, cv, 1, 2, scale=0.125, valid_upto=pos, interpret=True
+            )
+            want = reference(q, ck[1], cv[1], 2, 0.125, valid_upto=pos)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5,
+                err_msg=f"pos={pos}",
+            )
+
+    def test_traced_position(self):
+        q, ck, cv = make(2, 1, 32, 64, seed=2)
+        f = jax.jit(
+            lambda pos: decode_attention(
+                q, ck, cv, 0, 1, scale=0.125, valid_upto=pos, interpret=True
+            )
+        )
+        for pos in (0, 7, 31):
+            want = reference(q, ck[0], cv[0], 1, 0.125, valid_upto=pos)
+            np.testing.assert_allclose(
+                np.asarray(f(jnp.int32(pos))), np.asarray(want), atol=2e-5
+            )
+
+
+class TestDecoderApplyIntegration:
+    def test_step_logits_match_einsum_path(self):
+        dims = ModelDimensions(
+            n_mels=80, n_audio_ctx=48, n_audio_state=128, n_audio_head=2,
+            n_audio_layer=2, n_vocab=1000, n_text_ctx=32, n_text_state=128,
+            n_text_head=2, n_text_layer=2,
+        )
+        params = W.init_params(jax.random.PRNGKey(0), dims)
+        rng = np.random.RandomState(0)
+        feats = jnp.asarray(rng.randn(2, 48, 128).astype(np.float32) * 0.1)
+        cross_kv = W.precompute_cross_kv(params, dims, feats)
+        cache = W.init_kv_cache(dims, 2, jnp.float32)
+
+        # prefill 3 tokens through the einsum path
+        toks = jnp.asarray(rng.randint(0, 1000, (2, 3)), jnp.int32)
+        _, cache, _ = W.decoder_apply(
+            params, dims, toks, None, kv_cache=cache, cross_kv=cross_kv, pos_offset=0
+        )
+
+        step_tok = jnp.asarray(rng.randint(0, 1000, (2, 1)), jnp.int32)
+        try:
+            W.set_decode_kernel("off")
+            logits_ref, cache_ref, _ = W.decoder_apply(
+                params, dims, step_tok, None, kv_cache=cache, cross_kv=cross_kv,
+                pos_offset=3,
+            )
+            W.set_decode_kernel("interpret")
+            logits_dk, cache_dk, _ = W.decoder_apply(
+                params, dims, step_tok, None, kv_cache=cache, cross_kv=cross_kv,
+                pos_offset=3,
+            )
+        finally:
+            W.set_decode_kernel("auto")
+
+        np.testing.assert_allclose(
+            np.asarray(logits_dk), np.asarray(logits_ref), atol=2e-4, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache_dk["k"]), np.asarray(cache_ref["k"]), atol=1e-6
+        )

@@ -201,3 +201,22 @@ def test_sampling_runs_and_terminates(models):
     assert isinstance(res.tokens, list)
     assert res.temperature == 0.8
     assert np.isfinite(res.avg_logprob)
+
+
+class TestOptionValidation:
+    """Invalid options fail fast with clear errors (not deep assertions)."""
+
+    def test_bad_values_rejected(self, models=None):
+        import pytest as _pytest
+
+        from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+
+        cases = [
+            dict(beam_size=0),
+            dict(best_of=0, temperature=0.5),
+            dict(beam_size=5, patience=0.5),
+            dict(beam_size=3, best_of=3, temperature=0.5),
+        ]
+        for kw in cases:
+            with _pytest.raises(ValueError):
+                DecodingTask._verify_options(None, DecodingOptions(**kw))
