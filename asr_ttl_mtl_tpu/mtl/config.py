@@ -71,6 +71,10 @@ class TrainingConfig:
     # samples per training window (480000 = whisper's 30 s; smaller values
     # pair with debug_dims whose n_audio_ctx = audio_samples / 320)
     audio_samples: int = 480000
+    # when set, a jax.profiler trace of the first profiled epoch is written
+    # here (TensorBoard/Perfetto-viewable) and per-step timing summaries are
+    # logged (utils/profiling.py)
+    profile_dir: Optional[str] = None
 
 
 DISORDER_TYPE = {0: "Normal", 1: "Dysphonia", 2: "Dysarthria"}

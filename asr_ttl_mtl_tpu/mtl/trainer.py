@@ -384,31 +384,57 @@ class MultiTaskTrainer:
         n_batches = 0
         t0 = time.time()
 
-        for batch in dataloader:
-            dev, n_valid = self._device_batch(batch)
-            self._rng, sub = jax.random.split(self._rng)
-            trainable, opt_state, loss, aux = step_fn(
-                trainable, opt_state,
-                dev["audio"], dev["input_tokens"], dev["target_tokens"], dev["classes"],
-                jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32), sub,
-            )
-            n_batches += 1
-            totals["loss"] += float(loss)
-            totals["cls_loss"] += float(aux["cls_loss"])
-            totals["trans_loss"] += float(aux["trans_loss"])
+        # observability (SURVEY.md §5): step timer always on; a jax.profiler
+        # trace of epoch 0 when config.profile_dir is set
+        from ..utils.profiling import StepTimer, trace
 
-            # one-shot dynamic weight freeze (reference trainer.py:412-413)
-            if self.alpha == 0.0 or self.beta == 0.0:
-                if not self.config.true_dynamic_weights:
-                    self.alpha = float(aux["alpha_eff"])
-                    self.beta = float(aux["beta_eff"])
+        timer = StepTimer(n_chips=jax.device_count())
+        trace_ctx = trace(self.config.profile_dir if epoch == 0 else None)
 
-            all_preds.extend(np.asarray(aux["disease_preds"])[:n_valid])
-            all_labels.extend(batch["classes"][:n_valid])
-            all_pred_texts.extend(
-                self.decode_predictions(np.asarray(aux["pred_tokens"])[:n_valid])
+        with trace_ctx:
+            for batch in dataloader:
+                with timer.step(
+                    samples=len(batch["classes"]),
+                    audio_seconds=len(batch["classes"])
+                    * self.config.audio_samples
+                    / 16000.0,
+                ):
+                    dev, n_valid = self._device_batch(batch)
+                    self._rng, sub = jax.random.split(self._rng)
+                    trainable, opt_state, loss, aux = step_fn(
+                        trainable, opt_state,
+                        dev["audio"], dev["input_tokens"], dev["target_tokens"],
+                        dev["classes"],
+                        jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
+                        sub,
+                    )
+                    loss = jax.block_until_ready(loss)
+
+                n_batches += 1
+                totals["loss"] += float(loss)
+                totals["cls_loss"] += float(aux["cls_loss"])
+                totals["trans_loss"] += float(aux["trans_loss"])
+
+                # one-shot dynamic weight freeze (reference trainer.py:412-413)
+                if self.alpha == 0.0 or self.beta == 0.0:
+                    if not self.config.true_dynamic_weights:
+                        self.alpha = float(aux["alpha_eff"])
+                        self.beta = float(aux["beta_eff"])
+
+                all_preds.extend(np.asarray(aux["disease_preds"])[:n_valid])
+                all_labels.extend(batch["classes"][:n_valid])
+                all_pred_texts.extend(
+                    self.decode_predictions(np.asarray(aux["pred_tokens"])[:n_valid])
+                )
+                all_ref_texts.extend(batch["texts"][:n_valid])
+
+        if self.config.profile_dir and timer.steps:
+            s = timer.summary()
+            self._log(
+                f"  profile: mean step {s['mean_step_s']*1e3:.1f} ms, "
+                f"p50 {s['p50_step_s']*1e3:.1f} ms, "
+                f"audio-sec/sec/chip {s.get('audio_sec_per_sec_per_chip', 0):.1f}"
             )
-            all_ref_texts.extend(batch["texts"][:n_valid])
 
         self._set_trainable(trainable)
         self.opt_state = opt_state

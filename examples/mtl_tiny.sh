@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Reference run_ipynb/tiny/run_tiny_exp_encoder_learn_ffmpeg.ipynb, TPU-native.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DATA_DIR=${DATA_DIR:-../data}
+OUT=${OUT:-checkpoints/tiny}
+
+python scripts/train_disease.py \
+  --model_size tiny --epochs 50 --batch_size 16 --learning_rate 1e-5 \
+  --train_csv "$DATA_DIR/custom_train.csv" --val_csv "$DATA_DIR/custom_val.csv" \
+  --test_csv "$DATA_DIR/custom_test.csv" --save_dir "$OUT"
+
+python scripts/inference_disease.py \
+  --model_path "$OUT/best_multitask_model_tiny.pt" \
+  --test_csv "$DATA_DIR/custom_test.csv" \
+  --save_results "$OUT/inference_results.csv"
