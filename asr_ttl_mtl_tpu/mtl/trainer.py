@@ -505,14 +505,30 @@ class MultiTaskTrainer:
         )
         return metrics
 
-    def train(self, train_loader, val_loader) -> Dict:
+    def train(self, train_loader, val_loader, resume_dir: Optional[str] = None) -> Dict:
         """Best-val-loss checkpointing + early stopping
-        (reference trainer.py:541-612)."""
+        (reference trainer.py:541-612).
+
+        `resume_dir` enables crash-safe epoch-level resume — a gap in the
+        reference, which saves optimizer state but never reloads it
+        (trainer.py:621-625): the FULL training state (params, classifier,
+        optimizer, loss-weight freeze, PRNG, early-stop counters) is written
+        after every epoch and restored on restart.
+        """
         best_loss = float("inf")
         patience_counter = 0
         training_history = []
+        start_epoch = 0
 
-        for epoch in range(self.config.epochs):
+        if resume_dir and os.path.exists(os.path.join(resume_dir, "meta.json")):
+            meta = self.restore_resume_state(resume_dir)
+            start_epoch = meta["epoch"] + 1
+            best_loss = meta["best_loss"]
+            patience_counter = meta["patience_counter"]
+            training_history = meta.get("training_history", [])
+            self._log(f"resumed from {resume_dir} at epoch {start_epoch}")
+
+        for epoch in range(start_epoch, self.config.epochs):
             train_metrics = self.train_epoch(train_loader, epoch)
             val_metrics = self.evaluate(val_loader)
 
@@ -539,6 +555,14 @@ class MultiTaskTrainer:
             training_history.append(
                 {"epoch": epoch + 1, "train_metrics": train_metrics, "val_metrics": val_metrics}
             )
+            if resume_dir:
+                self.save_resume_state(
+                    resume_dir,
+                    epoch=epoch,
+                    best_loss=best_loss,
+                    patience_counter=patience_counter,
+                    training_history=training_history,
+                )
 
         # persist the history (the reference *claims* to save this file but
         # never writes it — train_disease.py:202-204; we actually do)
@@ -616,6 +640,60 @@ class MultiTaskTrainer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         torch.save(ckpt, path)
         self._log(f"  best model saved: {path}")
+
+    # --- epoch-level resume (orbax full-state checkpoints) -------------------
+
+    def _resume_pytree(self) -> Dict:
+        return {
+            "params": jax.device_get(self.model.params),
+            "classifier": jax.device_get(self.classifier_params),
+            "opt_state": jax.device_get(self.opt_state),
+            "rng": jax.device_get(self._rng),
+        }
+
+    def save_resume_state(self, directory: str, *, epoch: int, best_loss: float,
+                          patience_counter: int, training_history=None) -> None:
+        """Write the FULL training state (orbax StandardCheckpointer) so a
+        killed run restarts exactly where it stopped."""
+        import orbax.checkpoint as ocp
+
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        state_dir = os.path.join(directory, "state")
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(state_dir, self._resume_pytree(), force=True)
+        meta = {
+            "epoch": epoch,
+            "best_loss": best_loss,
+            "patience_counter": patience_counter,
+            "alpha": self.alpha,
+            "beta": self.beta,
+            "training_history": _to_jsonable(training_history or []),
+        }
+        tmp = os.path.join(directory, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(directory, "meta.json"))
+
+    def restore_resume_state(self, directory: str) -> Dict:
+        """Restore params/classifier/optimizer/PRNG + loop counters saved by
+        save_resume_state. Returns the meta dict."""
+        import orbax.checkpoint as ocp
+
+        directory = os.path.abspath(directory)
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(
+                os.path.join(directory, "state"), self._resume_pytree()
+            )
+        self.model.params = shard_params(state["params"], self.mesh)
+        self.classifier_params = jax.device_put(state["classifier"], replicated(self.mesh))
+        self.opt_state = jax.device_put(state["opt_state"], replicated(self.mesh))
+        self._rng = jnp.asarray(state["rng"])
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        self.alpha = float(meta["alpha"])
+        self.beta = float(meta["beta"])
+        return meta
 
     @classmethod
     def load_from_checkpoint(cls, checkpoint_path: str, verbose: bool = True,

@@ -55,6 +55,9 @@ def parse_args():
     p.add_argument("--dp", type=int, default=0, help="data-parallel mesh size (0=all)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="directory for full-state epoch checkpoints; if it already "
+                        "holds a state, training resumes from it")
     return p.parse_args()
 
 
@@ -99,7 +102,7 @@ def main():
         )
 
         trainer = MultiTaskTrainer(config)
-        result = trainer.train(train_loader, val_loader)
+        result = trainer.train(train_loader, val_loader, resume_dir=args.resume_dir)
 
         config_path = os.path.join(args.save_dir, f"training_config_{args.model_size}.json")
         with open(config_path, "w") as f:

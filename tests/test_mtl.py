@@ -8,6 +8,7 @@ import wave as wavmod
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from conftest import import_reference_whisper, reference_available
@@ -287,3 +288,64 @@ def test_frozen_encoder_does_not_update(tmp_path):
     dec_after = np.asarray(trainer.model.params["decoder"]["blocks"][0]["attn"]["query"]["w"])
     np.testing.assert_array_equal(before, after)
     assert np.abs(dec_before - dec_after).max() > 0
+
+
+class TestEpochResume:
+    """Full-state resume (orbax) — the capability gap SURVEY.md §5 notes in
+    the reference (optimizer state saved but never reloaded)."""
+
+    def test_resume_continues_identically(self, tmp_path):
+        csv = _write_dataset(tmp_path)
+        resume_dir = str(tmp_path / "resume")
+
+        # run A: 3 epochs straight through
+        cfg_a = _config(tmp_path, csv, epochs=3, save_dir=str(tmp_path / "a"))
+        tr_a = MultiTaskTrainer(cfg_a, verbose=False)
+        ds = MultiTaskSpeechDataset(csv, cfg_a)
+        loader_a = DataLoader(ds, batch_size=4, num_workers=2, buckets=cfg_a.token_buckets)
+        res_a = tr_a.train(loader_a, loader_a)
+
+        # run B: 2 epochs with resume_dir, then a NEW trainer resumes epoch 3
+        cfg_b = _config(tmp_path, csv, epochs=2, save_dir=str(tmp_path / "b"))
+        tr_b1 = MultiTaskTrainer(cfg_b, verbose=False)
+        loader_b = DataLoader(ds, batch_size=4, num_workers=2, buckets=cfg_b.token_buckets)
+        tr_b1.train(loader_b, loader_b, resume_dir=resume_dir)
+
+        cfg_b3 = _config(tmp_path, csv, epochs=3, save_dir=str(tmp_path / "b"))
+        tr_b2 = MultiTaskTrainer(cfg_b3, verbose=False)
+        loader_b2 = DataLoader(ds, batch_size=4, num_workers=2, buckets=cfg_b3.token_buckets)
+        # align the shuffle schedule with run A's third epoch
+        loader_b2._epoch = 2
+        res_b = tr_b2.train(loader_b2, loader_b2, resume_dir=resume_dir)
+
+        # the resumed run must pick up counters and loss-weight freeze ...
+        assert tr_b2.alpha == pytest.approx(tr_a.alpha)
+        assert tr_b2.beta == pytest.approx(tr_a.beta)
+        hist_b = res_b["training_history"]
+        assert hist_b[-1]["epoch"] == 3 and len(hist_b) == 3
+        # ... and epoch 3's numbers must match the straight-through run's
+        a3 = res_a["training_history"][-1]["train_metrics"]["loss"]
+        b3 = hist_b[-1]["train_metrics"]["loss"]
+        assert b3 == pytest.approx(a3, rel=1e-4)
+
+    def test_state_roundtrip_exact(self, tmp_path):
+        csv = _write_dataset(tmp_path)
+        cfg = _config(tmp_path, csv, epochs=1)
+        tr = MultiTaskTrainer(cfg, verbose=False)
+        ds = MultiTaskSpeechDataset(csv, cfg)
+        loader = DataLoader(ds, batch_size=4, num_workers=2, buckets=cfg.token_buckets)
+        tr.train(loader, loader)
+        d = str(tmp_path / "rs")
+        tr.save_resume_state(d, epoch=0, best_loss=1.5, patience_counter=2)
+
+        tr2 = MultiTaskTrainer(cfg, verbose=False)
+        meta = tr2.restore_resume_state(d)
+        assert meta["epoch"] == 0 and meta["patience_counter"] == 2
+        for a, b in zip(
+            jax.tree.leaves(tr._trainable()), jax.tree.leaves(tr2._trainable())
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(tr.opt_state), jax.tree.leaves(tr2.opt_state)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
