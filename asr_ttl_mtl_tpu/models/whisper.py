@@ -66,16 +66,20 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """1-D conv over (B, C, T); weights in torch (O, I, K) layout."""
+    """1-D conv over (B, C, T); weights in torch (O, I, K) layout.
+
+    No `preferred_element_type`: its conv transpose rule rejects bf16
+    inputs with an f32 cotangent under AD, and TPU convs accumulate in
+    fp32 on the MXU regardless of the bf16 io dtype.
+    """
     out = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         window_strides=(stride,),
         padding=[(1, 1)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=_F32,
     )
-    out = out + p["b"].astype(_F32)[None, :, None]
+    out = out.astype(_F32) + p["b"].astype(_F32)[None, :, None]
     return out.astype(x.dtype)
 
 

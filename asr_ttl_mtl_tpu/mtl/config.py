@@ -75,6 +75,11 @@ class TrainingConfig:
     # here (TensorBoard/Perfetto-viewable) and per-step timing summaries are
     # logged (utils/profiling.py)
     profile_dir: Optional[str] = None
+    # optimizer steps fused into one XLA dispatch via lax.scan (0 = auto:
+    # 8 on TPU, 1 elsewhere). Per-dispatch overhead scales with the ~500
+    # param+optimizer buffer handles, so on remote-attached TPUs single-step
+    # dispatch costs more than the compute
+    steps_per_call: int = 0
 
 
 DISORDER_TYPE = {0: "Normal", 1: "Dysphonia", 2: "Dysarthria"}

@@ -44,7 +44,7 @@ from ..models.registry import (
     from_random,
     load_model,
 )
-from ..parallel import create_mesh, data_sharding, replicated, shard_params
+from ..parallel import create_mesh, data_sharding, replicated, shard_params, stacked_data_sharding
 from ..tokenizer import Tokenizer
 from .config import TrainingConfig
 from .dataset import build_mtl_tokenizer
@@ -158,6 +158,7 @@ class MultiTaskTrainer:
         self.beta = float(config.beta)
         self._rng = jax.random.PRNGKey(config.seed + 1)
         self._train_step = None
+        self._train_scan_steps: Dict[int, Any] = {}
         self._eval_step = None
         self._log(
             f"Trainer ready: dims={self.model.dims}, mesh={dict(self.mesh.shape)}, "
@@ -316,6 +317,50 @@ class MultiTaskTrainer:
         self._train_step = jax.jit(step, donate_argnums=(0, 1))
         return self._train_step
 
+    def _get_train_scan_step(self, k: int):
+        """k training steps in ONE jitted program (lax.scan over stacked
+        batches). Per-dispatch overhead scales with the number of buffer
+        handles (~500 for params+optimizer), which on a remote-attached TPU
+        costs more than the compute itself — batching k steps per dispatch
+        amortizes it k-fold and lets XLA pipeline the H2D copies."""
+        if k in self._train_scan_steps:
+            return self._train_scan_steps[k]
+        optimizer = self.optimizer
+
+        def kstep(trainable, opt_state, audio, input_tokens, target_tokens,
+                  classes, alpha, beta, rng):
+            # stacked leading axis: (k, B, ...). The carried rng chains
+            # split() exactly like the host does between single-step calls,
+            # so fused and single-step training are bit-identical.
+            def body(carry, xs):
+                tr, opt, rng = carry
+                a_i, it_i, tt_i, cl_i = xs
+                rng, sub = jax.random.split(rng)
+
+                def loss_fn(tr):
+                    cls_loss, trans_loss, aux = self._forward(
+                        tr, a_i, it_i, tt_i, cl_i, sub, train=True
+                    )
+                    a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
+                    combined = a * cls_loss + b * trans_loss
+                    aux.update({"alpha_eff": a, "beta_eff": b})
+                    return combined, aux
+
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(tr)
+                updates, opt = optimizer.update(grads, opt, tr)
+                tr = optax.apply_updates(tr, updates)
+                return (tr, opt, rng), (loss, aux)
+
+            (trainable, opt_state, rng), (losses, auxs) = jax.lax.scan(
+                body, (trainable, opt_state, rng),
+                (audio, input_tokens, target_tokens, classes),
+            )
+            return trainable, opt_state, rng, losses, auxs
+
+        fn = jax.jit(kstep, donate_argnums=(0, 1))
+        self._train_scan_steps[k] = fn
+        return fn
+
     def _get_eval_step(self):
         if self._eval_step is not None:
             return self._eval_step
@@ -391,42 +436,103 @@ class MultiTaskTrainer:
         timer = StepTimer(n_chips=jax.device_count())
         trace_ctx = trace(self.config.profile_dir if epoch == 0 else None)
 
-        with trace_ctx:
-            for batch in dataloader:
-                with timer.step(
-                    samples=len(batch["classes"]),
-                    audio_seconds=len(batch["classes"])
-                    * self.config.audio_samples
-                    / 16000.0,
-                ):
-                    dev, n_valid = self._device_batch(batch)
-                    self._rng, sub = jax.random.split(self._rng)
-                    trainable, opt_state, loss, aux = step_fn(
-                        trainable, opt_state,
-                        dev["audio"], dev["input_tokens"], dev["target_tokens"],
-                        dev["classes"],
-                        jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
-                        sub,
-                    )
-                    loss = jax.block_until_ready(loss)
+        k_max = self.config.steps_per_call or (
+            8 if jax.default_backend() == "tpu" else 1
+        )
 
-                n_batches += 1
-                totals["loss"] += float(loss)
-                totals["cls_loss"] += float(aux["cls_loss"])
-                totals["trans_loss"] += float(aux["trans_loss"])
+        def collect(batch, loss, aux, n_valid):
+            nonlocal n_batches
+            n_batches += 1
+            totals["loss"] += float(loss)
+            totals["cls_loss"] += float(aux["cls_loss"])
+            totals["trans_loss"] += float(aux["trans_loss"])
 
-                # one-shot dynamic weight freeze (reference trainer.py:412-413)
-                if self.alpha == 0.0 or self.beta == 0.0:
-                    if not self.config.true_dynamic_weights:
-                        self.alpha = float(aux["alpha_eff"])
-                        self.beta = float(aux["beta_eff"])
+            # one-shot dynamic weight freeze (reference trainer.py:412-413)
+            if self.alpha == 0.0 or self.beta == 0.0:
+                if not self.config.true_dynamic_weights:
+                    self.alpha = float(aux["alpha_eff"])
+                    self.beta = float(aux["beta_eff"])
 
-                all_preds.extend(np.asarray(aux["disease_preds"])[:n_valid])
-                all_labels.extend(batch["classes"][:n_valid])
-                all_pred_texts.extend(
-                    self.decode_predictions(np.asarray(aux["pred_tokens"])[:n_valid])
+            all_preds.extend(np.asarray(aux["disease_preds"])[:n_valid])
+            all_labels.extend(batch["classes"][:n_valid])
+            all_pred_texts.extend(
+                self.decode_predictions(np.asarray(aux["pred_tokens"])[:n_valid])
+            )
+            all_ref_texts.extend(batch["texts"][:n_valid])
+
+        def run_single(batch):
+            nonlocal trainable, opt_state
+            with timer.step(samples=len(batch["classes"]),
+                            audio_seconds=len(batch["classes"]) * self.config.audio_samples / 16000.0):
+                dev, n_valid = self._device_batch(batch)
+                self._rng, sub = jax.random.split(self._rng)
+                trainable, opt_state, loss, aux = step_fn(
+                    trainable, opt_state,
+                    dev["audio"], dev["input_tokens"], dev["target_tokens"],
+                    dev["classes"],
+                    jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
+                    sub,
                 )
-                all_ref_texts.extend(batch["texts"][:n_valid])
+                loss = jax.block_until_ready(loss)
+            collect(batch, loss, aux, n_valid)
+
+        def run_group(group):
+            # k same-shape optimizer steps fused into one dispatch; partial
+            # groups fall back to singles — each distinct k would compile its
+            # own program (minutes on a remote-attached chip)
+            nonlocal trainable, opt_state
+            if len(group) < k_max:
+                for b in group:
+                    run_single(b)
+                return
+            n = sum(len(b["classes"]) for b in group)
+            dp = self.mesh.shape.get("dp", 1)
+            with timer.step(samples=n,
+                            audio_seconds=n * self.config.audio_samples / 16000.0):
+                dev = {}
+                for key in ("audio", "input_tokens", "target_tokens", "classes"):
+                    cols = []
+                    for b in group:
+                        v = b[key]
+                        if v.shape[0] % dp != 0:  # same padding as _device_batch
+                            pad = dp - v.shape[0] % dp
+                            v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                        cols.append(v)
+                    v = np.stack(cols)
+                    dev[key] = jax.device_put(v, stacked_data_sharding(self.mesh, v.ndim))
+                scan_fn = self._get_train_scan_step(len(group))
+                trainable, opt_state, self._rng, losses, auxs = scan_fn(
+                    trainable, opt_state,
+                    dev["audio"], dev["input_tokens"], dev["target_tokens"],
+                    dev["classes"],
+                    jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
+                    self._rng,
+                )
+                losses = np.asarray(losses)
+                auxs = jax.device_get(auxs)
+            for i, b in enumerate(group):
+                collect(b, losses[i],
+                        jax.tree.map(lambda x: x[i], auxs), len(b["classes"]))
+
+        with trace_ctx:
+            pending, pending_shape = [], None
+            for batch in dataloader:
+                # the FIRST batch must run alone when loss weights are
+                # dynamic: its aux freezes alpha/beta for the whole run
+                first_dynamic = n_batches == 0 and not pending and (
+                    self.alpha == 0.0 or self.beta == 0.0
+                ) and not self.config.true_dynamic_weights
+                if first_dynamic or k_max == 1:
+                    run_single(batch)
+                    continue
+                shape = (batch["audio"].shape, batch["input_tokens"].shape)
+                if pending and (shape != pending_shape or len(pending) == k_max):
+                    run_group(pending)
+                    pending = []
+                pending.append(batch)
+                pending_shape = shape
+            if pending:
+                run_group(pending)
 
         if self.config.profile_dir and timer.steps:
             s = timer.summary()

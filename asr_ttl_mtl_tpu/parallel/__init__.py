@@ -5,4 +5,5 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
     shard_params,
+    stacked_data_sharding,
 )

@@ -49,6 +49,11 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
 
 
+def stacked_data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 1 (batch) of a (steps, batch, ...) stack across dp."""
+    return NamedSharding(mesh, P(None, "dp", *([None] * (ndim - 2))))
+
+
 def _tp_spec_for_path(path: Tuple, leaf) -> P:
     """Tensor-parallel PartitionSpec for one parameter leaf.
 

@@ -75,6 +75,15 @@ def main():
           f"vs HIGHEST einsum {np.abs(gotc - want_hi).max():.2e}, "
           f"default-vs-HIGHEST {np.abs(want_def - want_hi).max():.2e}", flush=True)
 
+    # --- 1b. Pallas median filter vs XLA sort on device ---
+    from asr_ttl_mtl_tpu.ops.median import median_filter
+    from asr_ttl_mtl_tpu.ops.pallas_median import median_filter_pallas
+
+    xm = rng.randn(16, 1500).astype(np.float32)
+    got_m = np.asarray(median_filter_pallas(jnp.asarray(xm), 7))
+    want_m = np.asarray(median_filter(xm, 7))
+    print(f"pallas median identical: {np.array_equal(got_m, want_m)}", flush=True)
+
     # --- 2. Pallas DTW parity on device ---
     x = rng.rand(40, 300).astype(np.float32)
     trace_dev = dtw_trace_pallas(-x)

@@ -349,3 +349,36 @@ class TestEpochResume:
             jax.tree.leaves(tr.opt_state), jax.tree.leaves(tr2.opt_state)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_train_step(tmp_path):
+    """The TPU training configuration (compute_dtype=bfloat16) must
+    differentiate — conv preferred_element_type broke this once."""
+    csv = _write_dataset(tmp_path, n=4)
+    cfg = _config(tmp_path, csv, epochs=1, compute_dtype="bfloat16")
+    tr = MultiTaskTrainer(cfg, verbose=False)
+    ds = MultiTaskSpeechDataset(csv, cfg)
+    loader = DataLoader(ds, batch_size=4, num_workers=1, buckets=cfg.token_buckets)
+    m = tr.train_epoch(loader, 0)
+    assert np.isfinite(m["loss"])
+
+
+def test_fused_scan_steps_match_single_steps(tmp_path):
+    """steps_per_call>1 (one dispatch per k optimizer steps) must produce the
+    same trained state as the single-step path."""
+    csv = _write_dataset(tmp_path, n=8)
+    cfg1 = _config(tmp_path, csv, epochs=1, alpha=0.5, beta=0.5,
+                   save_dir=str(tmp_path / "s1"), steps_per_call=1)
+    cfg4 = _config(tmp_path, csv, epochs=1, alpha=0.5, beta=0.5,
+                   save_dir=str(tmp_path / "s4"), steps_per_call=2)
+    out = {}
+    for tag, cfg in (("single", cfg1), ("fused", cfg4)):
+        tr = MultiTaskTrainer(cfg, verbose=False)
+        ds = MultiTaskSpeechDataset(csv, cfg)
+        loader = DataLoader(ds, batch_size=4, num_workers=1, buckets=cfg.token_buckets)
+        m = tr.train_epoch(loader, 0)
+        out[tag] = (m, tr)
+    assert out["fused"][0]["loss"] == pytest.approx(out["single"][0]["loss"], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(out["single"][1]._trainable()),
+                    jax.tree.leaves(out["fused"][1]._trainable())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
