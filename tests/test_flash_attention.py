@@ -90,3 +90,48 @@ class TestFlashAttention:
     def test_whisper_encoder_shape(self):
         # the real encoder case: Tq = Tk = 1500, d = 64
         run_case(1, 1500, 1500, 64, seed=3, block_q=256, block_k=512)
+
+
+class TestFlashVJP:
+    """flash_attention_vjp: Pallas forward + hand-written backward must match
+    einsum autodiff (this is the path TPU training takes)."""
+
+    def _inputs(self, seed=0, bh=2, tq=64, tk=96, d=64):
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(bh, tq, d).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.randn(bh, tk, d).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.randn(bh, tk, d).astype(np.float32))
+        return q, k, v
+
+    @pytest.mark.parametrize("causal,scale", [(False, 1.0), (True, 0.125), (False, 0.125)])
+    def test_grads_match_einsum_autodiff(self, causal, scale):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_vjp
+
+        q, k, v = self._inputs()
+        tq, tk = q.shape[1], k.shape[1]
+
+        def ref_loss(q, k, v):
+            s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+            if causal:
+                mask = jnp.arange(tk)[None, :] <= jnp.arange(tq)[:, None]
+                s = jnp.where(mask[None], s, -jnp.inf)
+            w = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bqk,bkd->bqd", w, v)
+            return jnp.sum(out * jnp.cos(out))  # nontrivial cotangent
+
+        def flash_loss(q, k, v):
+            out = flash_attention_vjp(q, k, v, causal, 0, None, scale)
+            return jnp.sum(out * jnp.cos(out))
+
+        with pltpu.force_tpu_interpret_mode():
+            f_val, f_grads = jax.value_and_grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+        r_val, r_grads = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+        np.testing.assert_allclose(float(f_val), float(r_val), rtol=1e-5)
+        for fg, rg, name in zip(f_grads, r_grads, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(fg), np.asarray(rg), atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name} mismatch",
+            )
