@@ -26,7 +26,7 @@ Beam search lives in :mod:`asr_ttl_mtl_tpu.beam`.
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -214,15 +214,47 @@ def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, co
     jit dispatch instead of separate device_put round-trips (which cost
     real milliseconds over a remote-attached TPU).
     """
+    run = partial(
+        _greedy_program, dims=dims, cfg=cfg, bucket=bucket,
+        sample_len=sample_len, compute_dtype=jnp.dtype(compute_dtype_name),
+    )
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=64)
+def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
+    """Like _build_greedy_loop but takes the MEL and runs encoder +
+    cross-KV + prefill + decode loop as ONE XLA program — one dispatch per
+    30 s window instead of two (each dispatch costs real milliseconds of
+    handle marshalling on a remote-attached chip)."""
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
-    buf_len = bucket + sample_len
 
+    def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng_seed):
+        feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype)
+        cross_kv = W.precompute_cross_kv(params, dims, feats)
+        return _greedy_program(
+            params, cross_kv, initial_tokens, valid_len, sot_index,
+            no_speech_token, temperature, rng_seed,
+            dims=dims, cfg=cfg, bucket=bucket, sample_len=sample_len,
+            compute_dtype=compute_dtype,
+        )
+
+    return jax.jit(run)
+
+
+def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
+                    no_speech_token, temperature, rng_seed, *,
+                    dims, cfg: FilterConfig, bucket: int, sample_len: int,
+                    compute_dtype):
+    from .models import whisper as W
+
+    buf_len = bucket + sample_len
     # cache bounded to the decode horizon, 128-aligned for TPU tiling
     cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
 
-    def run(params, cross_kv, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng_seed):
+    if True:  # body kept at original indentation
         rng = jax.random.PRNGKey(rng_seed)
         B = initial_tokens.shape[0]
         cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
@@ -324,8 +356,6 @@ def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, co
 
         final = jax.lax.while_loop(cond, body, state)
         return final["buf"], final["sum_lp"], no_speech_probs, final["i"]
-
-    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -584,7 +614,22 @@ class DecodingTask:
         mel = jnp.asarray(mel)
         n_audio = mel.shape[0]
 
-        feats, cross_kv = self._encode_audio(mel)
+        # plain greedy with a known language: encoder + cross-KV + decode
+        # loop run as ONE fused XLA program (halves dispatch round-trips)
+        fused_mel = None
+        if (
+            self.options.beam_size is None
+            and self.n_group == 1
+            and self.options.task != "lang_id"
+            and self.options.language is not None
+            and not self.options.return_audio_features
+            and mel.shape[-2:]
+            != (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state)
+        ):
+            fused_mel = mel
+            feats = cross_kv = None
+        else:
+            feats, cross_kv = self._encode_audio(mel)
 
         # language detection, writing detected tokens into the prompt
         # (reference decoding.py:666-678)
@@ -611,7 +656,7 @@ class DecodingTask:
             tokens, sum_logprobs, no_speech_probs = run_beam_search(self, feats, cross_kv, initial)
         else:
             tokens, sum_logprobs, no_speech_probs = self._run_greedy(
-                feats, cross_kv, initial, rng_seed
+                feats, cross_kv, initial, rng_seed, fused_mel=fused_mel
             )
 
         # rank within each group and assemble results (decoding.py:739-789)
@@ -640,7 +685,8 @@ class DecodingTask:
             for i in range(n_audio)
         ]
 
-    def _run_greedy(self, feats, cross_kv, initial: np.ndarray, rng_seed: int):
+    def _run_greedy(self, feats, cross_kv, initial: np.ndarray, rng_seed: int,
+                    fused_mel=None):
         n_audio = initial.shape[0]
         n_group = self.n_group
         if n_group > 1:  # best-of-N sampling: replicate rows
@@ -655,20 +701,28 @@ class DecodingTask:
         padded[:, :valid_len] = initial
 
         sample_len = min(self.sample_len, self.n_ctx)
-        loop = _build_greedy_loop(
-            self.model.dims, self.filter_cfg, bucket, sample_len, self._dtype_name
-        )
         no_speech = self.tokenizer.no_speech if self.tokenizer.no_speech is not None else -1
-        buf, sum_lp, ns_probs, n_sampled = loop(
-            self.model.params,
-            cross_kv,
-            padded,
+        scalars = (
             np.int32(valid_len),
             np.int32(self.sot_index),
             np.int32(no_speech),
             np.float32(self.options.temperature),
             np.int32(rng_seed),
         )
+        if fused_mel is not None:
+            loop = _build_greedy_window(
+                self.model.dims, self.filter_cfg, bucket, sample_len, self._dtype_name
+            )
+            buf, sum_lp, ns_probs, n_sampled = loop(
+                self.model.params, fused_mel, padded, *scalars
+            )
+        else:
+            loop = _build_greedy_loop(
+                self.model.dims, self.filter_cfg, bucket, sample_len, self._dtype_name
+            )
+            buf, sum_lp, ns_probs, n_sampled = loop(
+                self.model.params, cross_kv, padded, *scalars
+            )
         buf = np.asarray(buf)
         sum_lp = np.asarray(sum_lp)
         ns_probs = np.asarray(ns_probs)

@@ -57,8 +57,10 @@ def main():
     rng = np.random.RandomState(0)
     mels = jnp.asarray(rng.randn(BATCH, model.dims.n_mels, 3000).astype(np.float32) * 0.3)
 
-    # warmup / compile
+    # warmup / compile (two calls: the remote-attached runtime may recompile
+    # once more for settled buffer layouts on the second call)
     task.run(mels)
+    task.run(mels, rng_seed=99)
 
     n_iters = 5 if on_tpu else 2
     t0 = time.time()
