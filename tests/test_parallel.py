@@ -181,3 +181,35 @@ def test_mtl_train_step_dp_tp(tmp_path):
 
     np.testing.assert_allclose(losses[(8, 1)], losses[(1, 1)], rtol=1e-5)
     np.testing.assert_allclose(losses[(4, 2)], losses[(1, 1)], rtol=1e-5)
+
+
+def test_batched_greedy_decode_dp_sharded_matches_single(params):
+    """Multi-chip SERVING: the fused greedy window program under a dp mesh
+    (params replicated, mel batch-sharded) must produce the same tokens as
+    single-device execution."""
+    from asr_ttl_mtl_tpu.decoding import FilterConfig, _build_greedy_window
+    from asr_ttl_mtl_tpu.parallel import replicated
+
+    cfg = FilterConfig(
+        n_vocab=DIMS.n_vocab, eot=DIMS.n_vocab - 1, timestamp_begin=DIMS.n_vocab + 7,
+        no_timestamps=DIMS.n_vocab - 2, blank_tokens=(0, DIMS.n_vocab - 1),
+        suppress_tokens=(), suppress_blank=True, apply_timestamp_rules=False,
+        max_initial_timestamp_index=-1,
+    )
+    B = 8
+    mel = jnp.asarray(_mel(B, seed=3))
+    initial = np.full((B, 8), 5, np.int32)
+    scalars = (np.int32(8), np.int32(0), np.int32(-1), np.float32(0.0), np.int32(0))
+    loop = _build_greedy_window(DIMS, cfg, 8, 12, "float32")
+
+    buf1, lp1, _, n1 = loop(params, mel, initial, *scalars)
+
+    mesh = create_mesh((8, 1))
+    p_sh = shard_params(params, mesh)
+    mel_sh = jax.device_put(mel, data_sharding(mesh, 3))
+    init_sh = jax.device_put(initial, data_sharding(mesh, 2))
+    buf8, lp8, _, n8 = loop(p_sh, mel_sh, init_sh, *scalars)
+
+    np.testing.assert_array_equal(np.asarray(buf8), np.asarray(buf1))
+    np.testing.assert_allclose(np.asarray(lp8), np.asarray(lp1), atol=1e-4)
+    assert int(n8) == int(n1)
