@@ -254,108 +254,107 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
     # cache bounded to the decode horizon, 128-aligned for TPU tiling
     cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
 
-    if True:  # body kept at original indentation
-        rng = jax.random.PRNGKey(rng_seed)
-        B = initial_tokens.shape[0]
-        cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
+    rng = jax.random.PRNGKey(rng_seed)
+    B = initial_tokens.shape[0]
+    cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
 
-        prefill_logits, cache, _ = W.decoder_apply(
-            params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
-            pos_offset=0, compute_dtype=compute_dtype,
-        )  # (B, bucket, V) fp32
+    prefill_logits, cache, _ = W.decoder_apply(
+        params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
+        pos_offset=0, compute_dtype=compute_dtype,
+    )  # (B, bucket, V) fp32
 
-        # no-speech probability from the SOT position of the first forward
-        # pass (reference decoding.py:689-693)
-        probs_at_sot = jax.nn.softmax(
-            jnp.take_along_axis(
-                prefill_logits, sot_index[None, None, None].astype(jnp.int32), axis=1
-            )[:, 0],
-            axis=-1,
+    # no-speech probability from the SOT position of the first forward
+    # pass (reference decoding.py:689-693)
+    probs_at_sot = jax.nn.softmax(
+        jnp.take_along_axis(
+            prefill_logits, sot_index[None, None, None].astype(jnp.int32), axis=1
+        )[:, 0],
+        axis=-1,
+    )
+    no_speech_probs = jnp.where(
+        no_speech_token >= 0,
+        probs_at_sot[:, jnp.maximum(no_speech_token, 0)],
+        jnp.nan,
+    )
+
+    first_logits = jnp.take_along_axis(
+        prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+
+    tokens_buf = jnp.concatenate(
+        [initial_tokens, jnp.full((B, sample_len), cfg.eot, jnp.int32)], axis=1
+    )
+
+    state = dict(
+        i=jnp.asarray(0, jnp.int32),
+        logits=first_logits,
+        cache=cache,
+        buf=tokens_buf,
+        sum_lp=jnp.zeros((B,), _F32),
+        prev=jnp.full((B,), -1, jnp.int32),
+        penult=jnp.full((B,), -1, jnp.int32),
+        last_ts=jnp.full((B,), -1, jnp.int32),
+        finished=jnp.zeros((B,), bool),
+        rng=rng,
+    )
+
+    def cond(s):
+        pos = valid_len + s["i"]
+        return (s["i"] < sample_len) & (~jnp.all(s["finished"])) & (pos < dims.n_text_ctx)
+
+    def body(s):
+        logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+        rng, sub = jax.random.split(s["rng"])
+        # lax.cond so the t=0 ladder rung doesn't pay for gumbel noise
+        # over the whole vocab every step (both branches compile once;
+        # only one executes per call)
+        next_tok = jax.lax.cond(
+            temperature == 0.0,
+            lambda: jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            lambda: jax.random.categorical(
+                sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32),
         )
-        no_speech_probs = jnp.where(
-            no_speech_token >= 0,
-            probs_at_sot[:, jnp.maximum(no_speech_token, 0)],
-            jnp.nan,
+
+        cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        # freeze finished rows: force EOT, stop accumulating logprob
+        # (reference GreedyDecoder.update, decoding.py:277-293)
+        sum_lp = s["sum_lp"] + jnp.where(s["finished"], 0.0, cur_lp)
+        next_tok = jnp.where(s["finished"], cfg.eot, next_tok)
+        finished = s["finished"] | (next_tok == cfg.eot)
+
+        pos = valid_len + s["i"]
+        buf = jax.lax.dynamic_update_slice(
+            s["buf"], next_tok[:, None], (0, pos)
         )
 
-        first_logits = jnp.take_along_axis(
-            prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
-        )[:, 0]
+        is_ts = next_tok >= cfg.timestamp_begin
+        last_ts = jnp.where(is_ts & ~s["finished"], next_tok, s["last_ts"])
 
-        tokens_buf = jnp.concatenate(
-            [initial_tokens, jnp.full((B, sample_len), cfg.eot, jnp.int32)], axis=1
+        # the token we just emitted sits at absolute position `pos`; one
+        # decoder step at that position yields the next distribution
+        step_logits, cache, _ = W.decoder_apply(
+            params, dims, next_tok[:, None], cross_kv=cross_kv,
+            kv_cache=s["cache"], pos_offset=pos,
+            compute_dtype=compute_dtype,
         )
-
-        state = dict(
-            i=jnp.asarray(0, jnp.int32),
-            logits=first_logits,
+        return dict(
+            i=s["i"] + 1,
+            logits=step_logits[:, 0],
             cache=cache,
-            buf=tokens_buf,
-            sum_lp=jnp.zeros((B,), _F32),
-            prev=jnp.full((B,), -1, jnp.int32),
-            penult=jnp.full((B,), -1, jnp.int32),
-            last_ts=jnp.full((B,), -1, jnp.int32),
-            finished=jnp.zeros((B,), bool),
+            buf=buf,
+            sum_lp=sum_lp,
+            prev=next_tok,
+            penult=s["prev"],
+            last_ts=last_ts,
+            finished=finished,
             rng=rng,
         )
 
-        def cond(s):
-            pos = valid_len + s["i"]
-            return (s["i"] < sample_len) & (~jnp.all(s["finished"])) & (pos < dims.n_text_ctx)
-
-        def body(s):
-            logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
-            logprobs = jax.nn.log_softmax(logits, axis=-1)
-
-            rng, sub = jax.random.split(s["rng"])
-            # lax.cond so the t=0 ladder rung doesn't pay for gumbel noise
-            # over the whole vocab every step (both branches compile once;
-            # only one executes per call)
-            next_tok = jax.lax.cond(
-                temperature == 0.0,
-                lambda: jnp.argmax(logits, axis=-1).astype(jnp.int32),
-                lambda: jax.random.categorical(
-                    sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
-                ).astype(jnp.int32),
-            )
-
-            cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
-            # freeze finished rows: force EOT, stop accumulating logprob
-            # (reference GreedyDecoder.update, decoding.py:277-293)
-            sum_lp = s["sum_lp"] + jnp.where(s["finished"], 0.0, cur_lp)
-            next_tok = jnp.where(s["finished"], cfg.eot, next_tok)
-            finished = s["finished"] | (next_tok == cfg.eot)
-
-            pos = valid_len + s["i"]
-            buf = jax.lax.dynamic_update_slice(
-                s["buf"], next_tok[:, None], (0, pos)
-            )
-
-            is_ts = next_tok >= cfg.timestamp_begin
-            last_ts = jnp.where(is_ts & ~s["finished"], next_tok, s["last_ts"])
-
-            # the token we just emitted sits at absolute position `pos`; one
-            # decoder step at that position yields the next distribution
-            step_logits, cache, _ = W.decoder_apply(
-                params, dims, next_tok[:, None], cross_kv=cross_kv,
-                kv_cache=s["cache"], pos_offset=pos,
-                compute_dtype=compute_dtype,
-            )
-            return dict(
-                i=s["i"] + 1,
-                logits=step_logits[:, 0],
-                cache=cache,
-                buf=buf,
-                sum_lp=sum_lp,
-                prev=next_tok,
-                penult=s["prev"],
-                last_ts=last_ts,
-                finished=finished,
-                rng=rng,
-            )
-
-        final = jax.lax.while_loop(cond, body, state)
-        return final["buf"], final["sum_lp"], no_speech_probs, final["i"]
+    final = jax.lax.while_loop(cond, body, state)
+    return final["buf"], final["sum_lp"], no_speech_probs, final["i"]
 
 
 # ---------------------------------------------------------------------------

@@ -124,9 +124,14 @@ def _decode_kernel_state() -> tuple:
     return jax.default_backend() == "tpu", False
 
 
-def _flash_eligible(tq: int, return_qk: bool, q_offset: Any) -> bool:
+def _flash_eligible(tq: int, return_qk: bool, q_offset: Any, mask_structural: bool) -> bool:
+    # mask_structural: the caller's additive `mask` (if any) is fully
+    # described by the causal/q_offset/kv_valid_len arguments — the kernel
+    # never sees the materialized mask, so anything else must take the
+    # einsum path
     return (
         _FLASH["enabled"]
+        and mask_structural
         and not return_qk
         and tq >= 16
         and isinstance(q_offset, int)
@@ -160,7 +165,7 @@ def qkv_attention(
     k = _split_heads(k, n_head)
     v = _split_heads(v, n_head)
 
-    if _flash_eligible(q.shape[2], return_qk, q_offset):
+    if _flash_eligible(q.shape[2], return_qk, q_offset, mask is None or causal):
         from ..ops.flash_attention import flash_attention_vjp
 
         b, h, tq, d = q.shape

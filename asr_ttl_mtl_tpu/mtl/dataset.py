@@ -181,7 +181,7 @@ class DataLoader:
         ds = self.dataset
         try:
             from ..runtime import wav as cwav
-        except ImportError:
+        except Exception:  # no toolchain / unloadable artifact -> Python path
             return None
         rows = [ds.df.iloc[int(i)] for i in idxs]
         paths = [str(r["file"]) for r in rows]
@@ -236,17 +236,24 @@ class DataLoader:
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
+        errors: list = []
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    items = self._native_batch(idxs)
-                    if items is None:
-                        items = list(pool.map(self.dataset.__getitem__, idxs))
-                    out_q.put(collate(items, self.dataset.tokenizer, self.buckets))
-            out_q.put(None)
+            # a crash here must still unblock the consumer: always emit the
+            # end-of-epoch sentinel, then re-raise in the main thread
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        items = self._native_batch(idxs)
+                        if items is None:
+                            items = list(pool.map(self.dataset.__getitem__, idxs))
+                        out_q.put(collate(items, self.dataset.tokenizer, self.buckets))
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+            finally:
+                out_q.put(None)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -254,6 +261,8 @@ class DataLoader:
             while True:
                 batch = out_q.get()
                 if batch is None:
+                    if errors:
+                        raise errors[0]
                     return
                 yield batch
         finally:

@@ -149,6 +149,13 @@ class MultiTaskTrainer:
         self.classifier_params = init_classifier_params(key, self.model.dims.n_audio_state)
 
         self.mesh = create_mesh(config.mesh_shape)
+        if self.mesh.size > 1:
+            # the Pallas attention kernels carry no GSPMD partitioning rules:
+            # under a multi-device mesh the einsum paths shard cleanly while
+            # pallas_call would force gathers (or fail to partition) on the
+            # head-merged inputs — keep kernels for single-chip runs only
+            W.set_flash_attention(False)
+            W.set_decode_kernel("off")
         self._shard_all()
 
         self.optimizer = self._build_optimizer()
@@ -488,7 +495,8 @@ class MultiTaskTrainer:
             n = sum(len(b["classes"]) for b in group)
             dp = self.mesh.shape.get("dp", 1)
             with timer.step(samples=n,
-                            audio_seconds=n * self.config.audio_samples / 16000.0):
+                            audio_seconds=n * self.config.audio_samples / 16000.0,
+                            n_steps=len(group)):
                 dev = {}
                 for key in ("audio", "input_tokens", "target_tokens", "classes"):
                     cols = []
@@ -793,7 +801,20 @@ class MultiTaskTrainer:
             )
         self.model.params = shard_params(state["params"], self.mesh)
         self.classifier_params = jax.device_put(state["classifier"], replicated(self.mesh))
-        self.opt_state = jax.device_put(state["opt_state"], replicated(self.mesh))
+        # restore the optimizer state with the SAME shardings optimizer.init
+        # produced: tp-sharded moment tensors keep their mesh layout (they
+        # must not be replicated onto every chip); scalar counters and
+        # anything init left on the default device are mesh-replicated
+        rep = replicated(self.mesh)
+
+        def _sharding_of(x):
+            s = getattr(x, "sharding", None)
+            if isinstance(s, jax.sharding.NamedSharding) and s.mesh.shape == self.mesh.shape:
+                return s
+            return rep
+
+        opt_shardings = jax.tree.map(_sharding_of, self.opt_state)
+        self.opt_state = jax.device_put(state["opt_state"], opt_shardings)
         self._rng = jnp.asarray(state["rng"])
         with open(os.path.join(directory, "meta.json")) as f:
             meta = json.load(f)

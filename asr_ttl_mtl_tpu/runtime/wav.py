@@ -12,6 +12,7 @@ back to the pure-Python path.
 from __future__ import annotations
 
 import ctypes
+import os
 from math import gcd
 from typing import List, Sequence, Tuple
 
@@ -19,7 +20,27 @@ import numpy as np
 
 from .build import build_library
 
-_lib = ctypes.CDLL(build_library("audio_decoder.cpp"))
+
+def _load_library() -> ctypes.CDLL:
+    """Load the cached .so; on a load failure (stale artifact from another
+    platform/toolchain) rebuild once, then give up as ImportError so callers
+    fall back to pure Python."""
+    path = build_library("audio_decoder.cpp")
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        path = build_library("audio_decoder.cpp")
+        try:
+            return ctypes.CDLL(path)
+        except OSError as e:
+            raise ImportError(f"native audio runtime unusable: {e}") from e
+
+
+_lib = _load_library()
 
 _lib.wav_read.restype = ctypes.c_long
 _lib.wav_read.argtypes = [

@@ -116,14 +116,25 @@ def find_alignment(
     text_token_probs = token_probs[np.arange(len(text_tokens)), text_tokens].tolist()
 
     # slice to the real segment, standardize across tokens (biased std) and
-    # median-filter (reference timing.py:207-216); small host-side arrays
-    weights = np.asarray(weights, dtype=np.float64)[:, :, : num_frames // 2]
-    mean = weights.mean(axis=-2, keepdims=True)
-    std = weights.std(axis=-2, keepdims=True)
-    weights = (weights - mean) / std
-    weights = median_filter(weights, medfilt_width)
+    # median-filter (reference timing.py:207-216)
+    if jax.default_backend() == "tpu":
+        # keep the (heads, tokens, frames) block on device: standardize +
+        # Pallas median (the reference's triton median_kernel equivalent,
+        # triton_ops.py:43-95) without a host round-trip
+        from .ops.pallas_median import median_filter_pallas
 
-    matrix = weights.mean(axis=0)
+        w = jnp.asarray(weights, jnp.float32)[:, :, : num_frames // 2]
+        mean = w.mean(axis=-2, keepdims=True)
+        std = w.std(axis=-2, keepdims=True)
+        w = median_filter_pallas((w - mean) / std, medfilt_width)
+        matrix = np.asarray(w.mean(axis=0), dtype=np.float64)
+    else:
+        weights = np.asarray(weights, dtype=np.float64)[:, :, : num_frames // 2]
+        mean = weights.mean(axis=-2, keepdims=True)
+        std = weights.std(axis=-2, keepdims=True)
+        weights = (weights - mean) / std
+        weights = median_filter(weights, medfilt_width)
+        matrix = weights.mean(axis=0)
     matrix = matrix[len(tokenizer.sot_sequence) : -1]
     # on TPU the wavefront DP fill runs as the Pallas kernel (ops/pallas_dtw.py,
     # the reference's triton_ops.py:13-40 equivalent); host numpy elsewhere

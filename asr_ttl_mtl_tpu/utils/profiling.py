@@ -57,14 +57,18 @@ class StepTimer:
     _seen: int = 0
 
     @contextlib.contextmanager
-    def step(self, samples: int = 0, audio_seconds: float = 0.0):
+    def step(self, samples: int = 0, audio_seconds: float = 0.0, n_steps: int = 1):
+        """Time a dispatch covering `n_steps` optimizer steps; the recorded
+        distribution is always per-step so fused (lax.scan) and single-step
+        dispatches produce comparable mean/p50 numbers."""
         t0 = time.perf_counter()
         yield
         dt = time.perf_counter() - t0
         self._seen += 1
         if self._seen <= self.warmup_steps:
             return
-        self._times.append(dt)
+        n_steps = max(1, n_steps)
+        self._times.extend([dt / n_steps] * n_steps)
         self._samples.append(samples)
         self._audio_seconds.append(audio_seconds)
 
