@@ -221,12 +221,10 @@ def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, co
     return jax.jit(run)
 
 
-@lru_cache(maxsize=64)
-def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
-    """Like _build_greedy_loop but takes the MEL and runs encoder +
-    cross-KV + prefill + decode loop as ONE XLA program — one dispatch per
-    30 s window instead of two (each dispatch costs real milliseconds of
-    handle marshalling on a remote-attached chip)."""
+def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
+    """The un-jitted whole-window function: encoder + cross-KV + prefill +
+    decode loop. Callers jit it directly (_build_greedy_window) or wrap it
+    in shard_map for data-parallel serving (parallel/serving.py)."""
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
@@ -241,7 +239,16 @@ def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, 
             compute_dtype=compute_dtype,
         )
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=64)
+def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
+    """Like _build_greedy_loop but takes the MEL and runs the whole window
+    as ONE XLA program — one dispatch per 30 s window instead of two (each
+    dispatch costs real milliseconds of handle marshalling on a
+    remote-attached chip)."""
+    return jax.jit(_greedy_window_fn(dims, cfg, bucket, sample_len, compute_dtype_name))
 
 
 def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
@@ -722,12 +729,19 @@ class DecodingTask:
             buf, sum_lp, ns_probs, n_sampled = loop(
                 self.model.params, cross_kv, padded, *scalars
             )
+        return self._assemble_greedy(
+            buf, sum_lp, ns_probs, n_sampled, n_audio, n_group, valid_len
+        )
+
+    def _assemble_greedy(self, buf, sum_lp, ns_probs, n_sampled,
+                         n_audio: int, n_group: int, valid_len: int):
+        """Host post-processing of a greedy program's outputs: slice the
+        sampled region and cut at the first EOT (reference decoding.py:749-752)."""
         buf = np.asarray(buf)
         sum_lp = np.asarray(sum_lp)
         ns_probs = np.asarray(ns_probs)
-        n_sampled = int(n_sampled)
+        n_sampled = int(np.max(n_sampled))
 
-        # slice sampled region and cut at first EOT (decoding.py:749-752)
         tokens: List[List[List[int]]] = []
         sum_logprobs: List[List[float]] = []
         for a in range(n_audio):

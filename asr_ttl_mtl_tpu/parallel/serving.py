@@ -1,0 +1,130 @@
+"""Data-parallel batched decoding over a device mesh (multi-chip serving).
+
+The single-chip path (decoding.DecodingTask.run) compiles one fused XLA
+program per 30 s window batch. This module scales that program across chips
+the TPU-native way: `shard_map` over a 1-D `dp` mesh with the window batch
+sharded and the parameters replicated. Pure data parallelism — no
+collectives are needed, and inside shard_map every device runs the program
+on LOCAL shapes, so the Pallas attention kernels work unchanged (outside
+shard_map, pallas_call has no GSPMD partitioning rules — that is why the
+model-level kernels are disabled on >1-device meshes, models/whisper.py).
+
+The reference has no distributed anything (SURVEY.md §2.6); this is the
+framework's own scaling surface for batched transcription.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from .mesh import create_mesh
+
+
+def decode_batched_dp(
+    model,
+    mels,
+    options=None,
+    mesh=None,
+    rng_seed: int = 0,
+    **option_kwargs,
+) -> List:
+    """Greedy-decode a batch of 30 s mel windows, sharded over `dp`.
+
+    Same results as DecodingTask.run (greedy, known language); the batch is
+    zero-padded up to a multiple of the dp size and the padded rows dropped.
+    Returns a list of DecodingResult.
+    """
+    from ..decoding import (
+        DecodingOptions,
+        DecodingResult,
+        DecodingTask,
+        MaximumLikelihoodRanker,
+        _bucket,
+        _greedy_window_fn,
+    )
+    from ..utils import compression_ratio
+
+    if options is None:
+        options = DecodingOptions(**option_kwargs)
+    if options.beam_size is not None or (options.best_of or 1) > 1:
+        raise ValueError("decode_batched_dp is greedy-only (beam/best_of unset)")
+    if options.language is None:
+        raise ValueError("decode_batched_dp needs a known language")
+
+    mesh = mesh or create_mesh((0, 1))
+    dp = mesh.shape["dp"]
+    task = DecodingTask(model, options)
+
+    mels = np.asarray(mels, np.float32)
+    n_audio = mels.shape[0]
+    if n_audio % dp:
+        pad = dp - n_audio % dp
+        mels = np.concatenate([mels, np.zeros((pad, *mels.shape[1:]), np.float32)])
+    B = mels.shape[0]
+
+    initial = np.tile(np.asarray(task.initial_tokens, np.int32), (B, 1))
+    valid_len = initial.shape[1]
+    bucket = _bucket(valid_len)
+    padded = np.full((B, bucket), task.tokenizer.eot, np.int32)
+    padded[:, :valid_len] = initial
+    sample_len = min(task.sample_len, task.n_ctx)
+
+    fn = _greedy_window_fn(
+        model.dims, task.filter_cfg, bucket, sample_len, task._dtype_name
+    )
+
+    def per_shard(params, mel, toks, valid, sot, nosp, temp, seed):
+        buf, sum_lp, ns, n = fn(params, mel, toks, valid, sot, nosp, temp, seed)
+        # scalar -> (1,) so the per-shard step counts stack over dp
+        return buf, sum_lp, ns, jnp.reshape(n, (1,))
+
+    sharded = jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P(), P(), P(), P(), P()),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            check_vma=False,
+        )
+    )
+
+    no_speech = task.tokenizer.no_speech if task.tokenizer.no_speech is not None else -1
+    buf, sum_lp, ns_probs, n_sampled = sharded(
+        model.params,
+        jnp.asarray(mels),
+        padded,
+        jnp.asarray(valid_len, jnp.int32),
+        jnp.asarray(task.sot_index, jnp.int32),
+        jnp.asarray(no_speech, jnp.int32),
+        jnp.asarray(options.temperature, jnp.float32),
+        jnp.asarray(rng_seed, jnp.int32),
+    )
+
+    tokens, sum_logprobs, no_speech_probs = task._assemble_greedy(
+        buf, sum_lp, ns_probs, np.asarray(n_sampled), B, 1, valid_len
+    )
+    selected = MaximumLikelihoodRanker(options.length_penalty).rank(tokens, sum_logprobs)
+    results = []
+    for i in range(n_audio):  # padded rows dropped
+        toks = tokens[i][selected[i]]
+        text = task.tokenizer.decode(toks).strip()
+        lp = sum_logprobs[i][selected[i]]
+        results.append(
+            DecodingResult(
+                audio_features=None,
+                language=options.language,
+                tokens=toks,
+                text=text,
+                avg_logprob=lp / (len(toks) + 1),
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(text),
+            )
+        )
+    return results

@@ -213,3 +213,37 @@ def test_batched_greedy_decode_dp_sharded_matches_single(params):
     np.testing.assert_array_equal(np.asarray(buf8), np.asarray(buf1))
     np.testing.assert_allclose(np.asarray(lp8), np.asarray(lp1), atol=1e-4)
     assert int(n8) == int(n1)
+
+
+def test_decode_batched_dp_matches_single_device(params):
+    """shard_map data-parallel serving: same DecodingResults as the
+    single-device DecodingTask.run, with the Pallas decode kernel running
+    per-shard (interpret mode) inside shard_map."""
+    from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.parallel.serving import decode_batched_dp
+
+    # real vocab size so DecodingTask's tokenizer/filters apply; tiny elsewhere
+    dims = DIMS.replace(n_vocab=51865)
+    vocab_params = W.init_params(jax.random.PRNGKey(1), dims)
+    model = WhisperModel(dims=dims, params=vocab_params, compute_dtype=jnp.float32)
+    # 10 windows over an 8-way dp mesh exercises batch padding too
+    mel = _mel(10, seed=7)
+    opts = DecodingOptions(language="en", without_timestamps=True,
+                           sample_len=12, fp16=False, suppress_tokens=None)
+
+    task = DecodingTask(model, opts)
+    single = task.run(jnp.asarray(mel))
+
+    try:
+        W.set_decode_kernel("interpret")
+        sharded = decode_batched_dp(model, mel, opts, mesh=create_mesh((8, 1)))
+    finally:
+        W.set_decode_kernel("auto")
+
+    assert len(sharded) == len(single) == 10
+    for a, b in zip(sharded, single):
+        assert a.tokens == b.tokens
+        assert a.text == b.text
+        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
