@@ -259,6 +259,8 @@ class MultiTaskTrainer:
         """Shared fwd: device log-mel -> encoder -> both heads -> losses."""
         dims = self.model.dims
         params, cp = trainable["model"], trainable["classifier"]
+        if audio.dtype == jnp.int16:  # quantized transfer (_audio_for_transfer)
+            audio = audio.astype(jnp.float32) / 32768.0
         mels = log_mel_spectrogram_jax(audio, n_mels=dims.n_mels)
         feats = W.encoder_apply(params, dims, mels, self.compute_dtype)
 
@@ -404,8 +406,18 @@ class MultiTaskTrainer:
         dev = {}
         for k in ("audio", "input_tokens", "target_tokens", "classes"):
             v = batch[k]
+            if k == "audio":
+                v = self._audio_for_transfer(v)
             dev[k] = jax.device_put(v, data_sharding(self.mesh, v.ndim))
         return dev, n_valid
+
+    def _audio_for_transfer(self, audio: np.ndarray) -> np.ndarray:
+        """Quantize waveforms to int16 for the H2D copy when configured
+        (config.audio_transfer_dtype) — exact for 16-bit PCM sources; the
+        jitted step converts back (see _forward)."""
+        if self.config.audio_transfer_dtype != "int16":
+            return audio
+        return np.clip(np.asarray(audio) * 32768.0, -32768, 32767).astype(np.int16)
 
     # --- prediction decoding (reference trainer.py:222-244) -----------------
 
@@ -507,6 +519,8 @@ class MultiTaskTrainer:
                             v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                         cols.append(v)
                     v = np.stack(cols)
+                    if key == "audio":
+                        v = self._audio_for_transfer(v)
                     dev[key] = jax.device_put(v, stacked_data_sharding(self.mesh, v.ndim))
                 scan_fn = self._get_train_scan_step(len(group))
                 trainable, opt_state, self._rng, losses, auxs = scan_fn(

@@ -382,3 +382,19 @@ def test_fused_scan_steps_match_single_steps(tmp_path):
     for a, b in zip(jax.tree.leaves(out["single"][1]._trainable()),
                     jax.tree.leaves(out["fused"][1]._trainable())):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_int16_audio_transfer_lossless_for_pcm(tmp_path):
+    """int16 transfer round-trips 16-bit-PCM-sourced waveforms exactly and
+    trains to the same loss as float32 transfer on such data."""
+    csv = _write_dataset(tmp_path, n=4)
+    out = {}
+    for dt in ("float32", "int16"):
+        cfg = _config(tmp_path, csv, epochs=1, alpha=0.5, beta=0.5,
+                      save_dir=str(tmp_path / dt), audio_transfer_dtype=dt)
+        tr = MultiTaskTrainer(cfg, verbose=False)
+        ds = MultiTaskSpeechDataset(csv, cfg)
+        loader = DataLoader(ds, batch_size=4, num_workers=1, buckets=cfg.token_buckets)
+        out[dt] = tr.train_epoch(loader, 0)["loss"]
+    # PCM-sourced audio quantizes losslessly -> identical training
+    assert out["int16"] == pytest.approx(out["float32"], rel=1e-6)
