@@ -530,13 +530,14 @@ class MultiTaskTrainer:
                     jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
                     self._rng,
                 )
-                losses = np.asarray(losses)
-                auxs = jax.device_get(auxs)
-            for i, b in enumerate(group):
-                collect(b, losses[i],
-                        jax.tree.map(lambda x: x[i], auxs), len(b["classes"]))
+            # results stay ON DEVICE until epoch end: fetching here would
+            # serialize every dispatch against the previous group's compute
+            # and H2D (the timer above therefore measures submission, not
+            # execution; epoch_seconds is the honest wall number)
+            deferred.append((group, losses, auxs))
 
         with trace_ctx:
+            deferred = []
             pending, pending_shape = [], None
             for batch in dataloader:
                 # the FIRST batch must run alone when loss weights are
@@ -555,6 +556,14 @@ class MultiTaskTrainer:
                 pending_shape = shape
             if pending:
                 run_group(pending)
+
+            # drain deferred group results (one sync at epoch end)
+            for group, losses, auxs in deferred:
+                losses = np.asarray(losses)
+                auxs_np = jax.device_get(auxs)
+                for i, b in enumerate(group):
+                    collect(b, losses[i],
+                            jax.tree.map(lambda x: x[i], auxs_np), len(b["classes"]))
 
         if self.config.profile_dir and timer.steps:
             s = timer.summary()

@@ -61,6 +61,8 @@ def main():
     dev = {}
     for key_ in ("audio", "input_tokens", "target_tokens", "classes"):
         v = np.stack([batch[key_]] * K)
+        if key_ == "audio":  # same transfer quantization the trainer applies
+            v = trainer._audio_for_transfer(v)
         dev[key_] = jax.device_put(v, stacked_data_sharding(trainer.mesh, v.ndim))
 
     scan_fn = trainer._get_train_scan_step(K)
@@ -83,18 +85,70 @@ def main():
         lv = float(np.asarray(losses)[-1])
         print(f"warmup {i}: {time.perf_counter() - t0:.1f} s loss={lv:.4f}", flush=True)
 
-    N = 6  # dispatches = N*K optimizer steps
+    host = {k: np.asarray(v) for k, v in
+            ((k_, np.stack([batch[k_]] * K)) for k_ in
+             ("audio", "input_tokens", "target_tokens", "classes"))}
+    host["audio"] = trainer._audio_for_transfer(host["audio"])
+
+    N = 6  # dispatches = N*K optimizer steps; fresh H2D per call (real epoch shape)
     t0 = time.perf_counter()
     for _ in range(N):
-        trainable, opt_state, key, losses, _ = one_call(trainable, opt_state, key)
+        dev = {k: jax.device_put(v, stacked_data_sharding(trainer.mesh, v.ndim))
+               for k, v in host.items()}
+        trainable, opt_state, key, losses, _ = scan_fn(
+            trainable, opt_state, dev["audio"], dev["input_tokens"],
+            dev["target_tokens"], dev["classes"], a, a, key,
+        )
         float(np.asarray(losses)[-1])  # force completion (async-safe timing)
     dt = (time.perf_counter() - t0) / (N * K)
     print(
-        f"{model_size} bs={B} (fused x{K}): {dt * 1e3:.1f} ms/step = {1 / dt:.2f} it/s "
+        f"{model_size} bs={B} (fused x{K}, incl H2D): {dt * 1e3:.1f} ms/step = {1 / dt:.2f} it/s "
         f"= {B / dt:.1f} samples/s (reference 3090: 1.8-4.2 it/s at tiny bs=16)",
         flush=True,
     )
 
 
+def epoch_mode():
+    """Time trainer.train_epoch itself (the realistic number: input pipeline
+    H2D + fused dispatches + deferred metric fetches)."""
+    from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
+
+    model_size = sys.argv[2] if len(sys.argv) > 2 else "tiny"
+    B, NBATCH = 16, 48
+
+    config = TrainingConfig(model_size=model_size, pretrained="random",
+                            batch_size=B, compute_dtype="bfloat16", seed=0,
+                            alpha=0.5, beta=0.5)
+    trainer = MultiTaskTrainer(config, verbose=False)
+    tok = trainer.tokenizer
+    rng = np.random.RandomState(0)
+    L = 48
+    it_ = np.full((B, L), tok.eot, np.int32)
+    tt = np.full((B, L), -100, np.int32)
+    seq = [tok.sot, list(tok.disease_tokens.values())[0]] + tok.encode(
+        " the quick brown fox jumps over the lazy dog today") + [tok.eot]
+    for i in range(B):
+        it_[i, : len(seq) - 1] = seq[:-1]
+        tt[i, : len(seq) - 1] = seq[1:]
+    batches = [
+        {"audio": (rng.randn(B, config.audio_samples) * 0.05).astype(np.float32),
+         "input_tokens": it_, "target_tokens": tt,
+         "classes": np.asarray([i % 3 for i in range(B)], np.int32),
+         "texts": ["the quick brown fox jumps over the lazy dog today"] * B}
+        for _ in range(NBATCH)
+    ]
+
+    trainer.train_epoch(batches[:16], 0)  # compile + warm layouts
+    t0 = time.perf_counter()
+    m = trainer.train_epoch(batches, 1)
+    wall = time.perf_counter() - t0
+    print(f"{model_size} epoch: {NBATCH} steps x bs={B} in {wall:.1f} s = "
+          f"{NBATCH / wall:.2f} it/s = {NBATCH * B / wall:.1f} samples/s "
+          f"(loss {m['loss']:.3f})", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "epoch":
+        epoch_mode()
+    else:
+        main()
