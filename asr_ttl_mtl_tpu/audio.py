@@ -305,10 +305,27 @@ def log_mel_spectrogram(
     padding: int = 0,
     device: Optional[object] = None,
 ) -> jnp.ndarray:
-    """Host-friendly wrapper: accepts a file path or waveform array."""
+    """Host-friendly wrapper: accepts a file path or waveform array.
+
+    When `padding >= N_FFT` (the long-form transcription case, padding =
+    30 s of silence) the waveform is zero-extended up to a 30 s multiple so
+    the jitted STFT compiles once per BUCKET instead of once per unique file
+    duration; the surplus frames are sliced off. Exact: every retained
+    frame's window lies inside the explicitly zero-padded region either way.
+    """
     if isinstance(audio, str):
         audio = load_audio(audio)
-    out = log_mel_spectrogram_jax(jnp.asarray(audio), n_mels=n_mels, padding=padding)
+    audio = jnp.asarray(audio)
+    n = audio.shape[-1]
+    if padding >= N_FFT:
+        total = n + padding
+        true_frames = total // HOP_LENGTH
+        bucket = ((total + N_SAMPLES - 1) // N_SAMPLES) * N_SAMPLES
+        out = log_mel_spectrogram_jax(
+            audio, n_mels=n_mels, padding=padding + (bucket - total)
+        )[..., :true_frames]
+    else:
+        out = log_mel_spectrogram_jax(audio, n_mels=n_mels, padding=padding)
     if device is not None:
         out = jax.device_put(out, device)
     return out

@@ -384,6 +384,18 @@ def _build_encoder(dims, compute_dtype_name: str):
 
 
 @lru_cache(maxsize=32)
+def _build_cross_kv(dims, compute_dtype_name: str):
+    """Cross-KV projection for callers that already hold encoder features
+    (cached: a fresh jit(lambda) per call would recompile every time)."""
+    from .models import whisper as W
+
+    def run(params, feats):
+        return W.precompute_cross_kv(params, dims, feats)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=32)
 def _build_single_token_logits(dims, compute_dtype_name: str):
     """One decoder forward over a single token (for language detection)."""
     from .models import whisper as W
@@ -408,7 +420,11 @@ def detect_language(
     audio features (..., n_audio_ctx, n_audio_state).
     """
     if tokenizer is None:
-        tokenizer = get_tokenizer(model.is_multilingual, num_languages=model.num_languages)
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            include_diseases=model.has_disease_tokens,
+        )
     if tokenizer.language is None or tokenizer.language_token not in tokenizer.sot_sequence:
         raise ValueError("This model doesn't have language tokens so it can't perform lang id")
 
@@ -492,6 +508,7 @@ class DecodingTask:
             num_languages=model.num_languages,
             language=language,
             task=options.task,
+            include_diseases=model.has_disease_tokens,
         )
         self.tokenizer = tokenizer
         self.options = self._verify_options(options)
@@ -575,6 +592,25 @@ class DecodingTask:
                 + tokens
             )
 
+        # the static prompt buckets top out at _PROMPT_BUCKETS[-1]; with the
+        # default sample_len the reference's prefix-truncation rule keeps
+        # everything (prefix_tokens[-0:]), which would overflow the bucket —
+        # trim the leading prompt/prefix context instead of crashing, but
+        # never drop the SOT sequence itself
+        limit = _PROMPT_BUCKETS[-1]
+        if len(tokens) > limit:
+            sot = self.tokenizer.sot
+            sot_at = tokens.index(sot)
+            tail = tokens[sot_at:]
+            if len(tail) > limit:
+                raise ValueError(
+                    f"prefix too long: {len(tail) - len(self.sot_sequence)} tokens "
+                    f"exceed the decoder's {limit}-token prompt budget"
+                )
+            tokens = tokens[sot_at - (limit - len(tail)):] if limit > len(tail) else tail
+            if tokens[0] != self.tokenizer.sot_prev and sot_at > 0:
+                tokens = [self.tokenizer.sot_prev] + tokens[1:]
+
         return tuple(tokens)
 
     def _get_suppress_tokens(self) -> Tuple[int, ...]:
@@ -607,11 +643,9 @@ class DecodingTask:
     def _encode_audio(self, mel: jnp.ndarray):
         if mel.shape[-2:] == (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state):
             feats = mel.astype(self.compute_dtype)
-            from .models import whisper as W
-
-            cross_kv = jax.jit(
-                lambda p, f: W.precompute_cross_kv(p, self.model.dims, f)
-            )(self.model.params, feats)
+            cross_kv = _build_cross_kv(self.model.dims, self._dtype_name)(
+                self.model.params, feats
+            )
             return feats, cross_kv
         return _build_encoder(self.model.dims, self._dtype_name)(self.model.params, mel)
 

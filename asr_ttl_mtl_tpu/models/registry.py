@@ -246,11 +246,24 @@ class WhisperModel:
             self.alignment_heads = W.default_alignment_heads(self.dims)
 
     @property
+    def has_disease_tokens(self) -> bool:
+        """True for MTL-fine-tuned checkpoints whose vocab was expanded with
+        the disease tokens (51864->51868 en-only, 51865->51869 multilingual —
+        SURVEY.md §5 quirk 3). Decoding/transcription must then build the
+        disease-spliced tokenizer or every special-token ID past the language
+        block is shifted (the reference itself mis-maps here; we don't)."""
+        return self.dims.n_vocab in (51868, 51869)
+
+    @property
     def is_multilingual(self) -> bool:
+        if self.has_disease_tokens:
+            return self.dims.n_vocab == 51869
         return self.dims.n_vocab >= 51865
 
     @property
     def num_languages(self) -> int:
+        if self.has_disease_tokens:
+            return 99  # the expansion starts from the 99-language vocab
         return self.dims.n_vocab - 51765 - int(self.is_multilingual)
 
     def set_alignment_heads(self, dump: bytes) -> None:

@@ -238,6 +238,18 @@ class DataLoader:
         stop = threading.Event()
         errors: list = []
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer abandoned iteration
+            (a plain put would block forever on the full queue and leak the
+            producer thread + its pool)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # a crash here must still unblock the consumer: always emit the
             # end-of-epoch sentinel, then re-raise in the main thread
@@ -249,11 +261,12 @@ class DataLoader:
                         items = self._native_batch(idxs)
                         if items is None:
                             items = list(pool.map(self.dataset.__getitem__, idxs))
-                        out_q.put(collate(items, self.dataset.tokenizer, self.buckets))
+                        if not put_or_stop(collate(items, self.dataset.tokenizer, self.buckets)):
+                            return
             except BaseException as e:  # noqa: BLE001
                 errors.append(e)
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

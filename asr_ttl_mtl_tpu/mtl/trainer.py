@@ -255,8 +255,12 @@ class MultiTaskTrainer:
     # --- the compiled steps --------------------------------------------------
 
     def _forward(self, trainable, audio, input_tokens, target_tokens, classes,
-                 rng, train: bool):
-        """Shared fwd: device log-mel -> encoder -> both heads -> losses."""
+                 rng, train: bool, n_valid=None):
+        """Shared fwd: device log-mel -> encoder -> both heads -> losses.
+
+        `n_valid` (traced scalar) masks dp-padding rows out of the loss
+        means — the duplicated last sample used to pad a batch up to the dp
+        size must not be double-weighted in gradients."""
         dims = self.model.dims
         params, cp = trainable["model"], trainable["classifier"]
         if audio.dtype == jnp.int16:  # quantized transfer (_audio_for_transfer)
@@ -276,6 +280,13 @@ class MultiTaskTrainer:
         trans_loss, trans_row_sum, trans_row_cnt = cross_entropy_ignore_index(
             trans_logits, target_tokens
         )
+
+        if n_valid is not None:
+            row_mask = jnp.arange(audio.shape[0]) < n_valid
+            cls_loss = (cls_per_row * row_mask).sum() / jnp.maximum(row_mask.sum(), 1)
+            t_sum = jnp.where(row_mask, trans_row_sum, 0.0)
+            t_cnt = jnp.where(row_mask, trans_row_cnt, 0)
+            trans_loss = t_sum.sum() / jnp.maximum(t_cnt.sum(), 1)
 
         aux = {
             "cls_loss": cls_loss,
@@ -308,10 +319,11 @@ class MultiTaskTrainer:
         optimizer = self.optimizer
 
         def step(trainable, opt_state, audio, input_tokens, target_tokens, classes,
-                 alpha, beta, rng):
+                 alpha, beta, rng, n_valid):
             def loss_fn(tr):
                 cls_loss, trans_loss, aux = self._forward(
-                    tr, audio, input_tokens, target_tokens, classes, rng, train=True
+                    tr, audio, input_tokens, target_tokens, classes, rng,
+                    train=True, n_valid=n_valid,
                 )
                 a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
                 combined = a * cls_loss + b * trans_loss
@@ -337,18 +349,18 @@ class MultiTaskTrainer:
         optimizer = self.optimizer
 
         def kstep(trainable, opt_state, audio, input_tokens, target_tokens,
-                  classes, alpha, beta, rng):
+                  classes, alpha, beta, rng, n_valids):
             # stacked leading axis: (k, B, ...). The carried rng chains
             # split() exactly like the host does between single-step calls,
             # so fused and single-step training are bit-identical.
             def body(carry, xs):
                 tr, opt, rng = carry
-                a_i, it_i, tt_i, cl_i = xs
+                a_i, it_i, tt_i, cl_i, nv_i = xs
                 rng, sub = jax.random.split(rng)
 
                 def loss_fn(tr):
                     cls_loss, trans_loss, aux = self._forward(
-                        tr, a_i, it_i, tt_i, cl_i, sub, train=True
+                        tr, a_i, it_i, tt_i, cl_i, sub, train=True, n_valid=nv_i
                     )
                     a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
                     combined = a * cls_loss + b * trans_loss
@@ -362,7 +374,7 @@ class MultiTaskTrainer:
 
             (trainable, opt_state, rng), (losses, auxs) = jax.lax.scan(
                 body, (trainable, opt_state, rng),
-                (audio, input_tokens, target_tokens, classes),
+                (audio, input_tokens, target_tokens, classes, n_valids),
             )
             return trainable, opt_state, rng, losses, auxs
 
@@ -374,9 +386,11 @@ class MultiTaskTrainer:
         if self._eval_step is not None:
             return self._eval_step
 
-        def step(trainable, audio, input_tokens, target_tokens, classes, alpha, beta):
+        def step(trainable, audio, input_tokens, target_tokens, classes, alpha, beta,
+                 n_valid):
             cls_loss, trans_loss, aux = self._forward(
-                trainable, audio, input_tokens, target_tokens, classes, None, train=False
+                trainable, audio, input_tokens, target_tokens, classes, None,
+                train=False, n_valid=n_valid,
             )
             a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
             combined = a * cls_loss + b * trans_loss
@@ -490,7 +504,7 @@ class MultiTaskTrainer:
                     dev["audio"], dev["input_tokens"], dev["target_tokens"],
                     dev["classes"],
                     jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
-                    sub,
+                    sub, np.int32(n_valid),
                 )
                 loss = jax.block_until_ready(loss)
             collect(batch, loss, aux, n_valid)
@@ -523,12 +537,13 @@ class MultiTaskTrainer:
                         v = self._audio_for_transfer(v)
                     dev[key] = jax.device_put(v, stacked_data_sharding(self.mesh, v.ndim))
                 scan_fn = self._get_train_scan_step(len(group))
+                n_valids = np.asarray([len(b["classes"]) for b in group], np.int32)
                 trainable, opt_state, self._rng, losses, auxs = scan_fn(
                     trainable, opt_state,
                     dev["audio"], dev["input_tokens"], dev["target_tokens"],
                     dev["classes"],
                     jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
-                    self._rng,
+                    self._rng, n_valids,
                 )
             # results stay ON DEVICE until epoch end: fetching here would
             # serialize every dispatch against the previous group's compute
@@ -610,6 +625,7 @@ class MultiTaskTrainer:
                 trainable,
                 dev["audio"], dev["input_tokens"], dev["target_tokens"], dev["classes"],
                 jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
+                np.int32(n_valid),
             )
             n_batches += 1
             # batch-mean losses over the *valid* rows only
@@ -620,7 +636,13 @@ class MultiTaskTrainer:
             trans_mean = float(tr_sum.sum() / max(tr_cnt.sum(), 1))
             loss_sums["cls"] += cls_mean
             loss_sums["trans"] += trans_mean
-            loss_sums["combined"] += self.alpha * cls_mean + self.beta * trans_mean
+            # the step's effective weights: equal to the frozen host values
+            # normally, and the per-batch dynamic weights when alpha/beta are
+            # still 0.0 (true_dynamic_weights) — host 0.0*x+0.0*y would make
+            # val loss constantly zero and break early stopping
+            a_eff = float(aux["alpha_eff"])
+            b_eff = float(aux["beta_eff"])
+            loss_sums["combined"] += a_eff * cls_mean + b_eff * trans_mean
 
             all_preds.extend(np.asarray(aux["disease_preds"])[:n_valid])
             all_labels.extend(batch["classes"][:n_valid])

@@ -394,20 +394,18 @@ class EnglishNumberNormalizer:
 
 
 def _find_spelling_mapping() -> dict:
-    """Locate the British->American spelling map (english.json asset)."""
-    candidates = []
-    if os.environ.get("ASRMTL_ASSET_DIR"):
-        candidates.append(os.path.join(os.environ["ASRMTL_ASSET_DIR"], "english.json"))
-    candidates.append(os.path.join(os.path.dirname(__file__), "english.json"))
-    default_cache = os.path.join(os.path.expanduser("~"), ".cache")
-    candidates.append(
-        os.path.join(os.getenv("XDG_CACHE_HOME", default_cache), "asr_ttl_mtl_tpu", "english.json")
+    """Locate the British->American spelling map (english.json asset,
+    shared search order in utils/assets.py)."""
+    from ..utils.assets import find_asset
+
+    path = find_asset(
+        "english.json",
+        os.path.dirname(__file__),
+        os.path.join("whisper", "normalizers", "english.json"),
     )
-    candidates.append("/root/reference/whisper/normalizers/english.json")
-    for path in candidates:
-        if os.path.isfile(path):
-            with open(path) as f:
-                return json.load(f)
+    if path:
+        with open(path) as f:
+            return json.load(f)
     # network fallback (public openai/whisper asset)
     try:
         import urllib.request

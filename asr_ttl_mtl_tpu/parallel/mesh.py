@@ -66,17 +66,14 @@ def _tp_spec_for_path(path: Tuple, leaf) -> P:
     names = [str(k) for k in keys]
     joined = "/".join(names)
 
-    def spec_if_divisible(spec: P) -> P:
-        return spec
-
     if "blocks" not in joined:
         return P()  # embeddings, convs, final LNs: replicated
     if names[-2:] == ["out", "w"] or names[-2:] == ["fc2", "w"]:
-        return spec_if_divisible(P("tp", None))  # row-parallel
+        return P("tp", None)  # row-parallel
     if names[-1] == "w" and names[-2] in ("query", "key", "value", "fc1"):
-        return spec_if_divisible(P(None, "tp"))  # column-parallel
+        return P(None, "tp")  # column-parallel
     if names[-1] == "b" and names[-2] in ("query", "value", "fc1"):
-        return spec_if_divisible(P("tp"))
+        return P("tp")
     return P()  # layer norms, row-parallel biases
 
 

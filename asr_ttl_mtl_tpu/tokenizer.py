@@ -92,27 +92,20 @@ _VOCAB_URLS = {
 }
 
 
-def _asset_search_dirs() -> List[str]:
-    dirs = []
-    if os.environ.get("ASRMTL_ASSET_DIR"):
-        dirs.append(os.environ["ASRMTL_ASSET_DIR"])
-    dirs.append(os.path.join(os.path.dirname(__file__), "assets"))
-    default_cache = os.path.join(os.path.expanduser("~"), ".cache")
-    dirs.append(os.path.join(os.getenv("XDG_CACHE_HOME", default_cache), "asr_ttl_mtl_tpu"))
-    # development convenience: the read-only reference mount, if present
-    dirs.append("/root/reference/whisper/assets")
-    return dirs
-
-
 def find_vocab_file(name: str) -> str:
-    """Locate `<name>.tiktoken`, downloading to the cache dir if necessary."""
+    """Locate `<name>.tiktoken` (shared search order, utils/assets.py),
+    downloading the public rank table to the cache dir as a last resort."""
+    from .utils.assets import cache_dir as _cache_dir, find_asset
+
     fname = f"{name}.tiktoken"
-    for d in _asset_search_dirs():
-        path = os.path.join(d, fname)
-        if os.path.isfile(path):
-            return path
-    # last resort: download the public rank table
-    cache_dir = _asset_search_dirs()[-2]
+    found = find_asset(
+        fname,
+        os.path.join(os.path.dirname(__file__), "assets"),
+        os.path.join("whisper", "assets", fname),
+    )
+    if found:
+        return found
+    cache_dir = _cache_dir()
     os.makedirs(cache_dir, exist_ok=True)
     target = os.path.join(cache_dir, fname)
     import urllib.request

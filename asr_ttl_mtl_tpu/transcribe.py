@@ -85,6 +85,7 @@ def transcribe(
         num_languages=model.num_languages,
         language=language,
         task=task,
+        include_diseases=model.has_disease_tokens,
     )
 
     if isinstance(clip_timestamps, str):
@@ -434,7 +435,15 @@ def transcribe_batch(
             metas.append((idx, seek, max(segment_size, 1)))
             seek += max(segment_size, 1)
 
-    language = decode_options.pop("language", None) or ("en" if not model.is_multilingual else "en")
+    language = decode_options.pop("language", None)
+    if language is None:
+        if model.is_multilingual:
+            # detect once on the first window of the whole batch (single-file
+            # transcribe() detects per file; batch mode shares one language)
+            _, probs = model.detect_language(jnp.asarray(windows[0]))
+            language = max(probs, key=probs.get)
+        else:
+            language = "en"
     options = DecodingOptions(language=language, **decode_options)
     task = DecodingTask(model, options)
 

@@ -44,6 +44,7 @@ def run_inference(trainer: MultiTaskTrainer, dataloader) -> dict:
         aux = step_fn(
             trainable, dev["audio"], dev["input_tokens"], dev["target_tokens"],
             dev["classes"], jnp.asarray(trainer.alpha), jnp.asarray(trainer.beta),
+            np.int32(n_valid),
         )
         pred_texts = trainer.decode_predictions(np.asarray(aux["pred_tokens"])[:n_valid])
         disease_preds = np.asarray(aux["disease_preds"])[:n_valid]

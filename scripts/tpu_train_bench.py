@@ -75,6 +75,7 @@ def main():
         return scan_fn(
             trainable, opt_state, dev["audio"], dev["input_tokens"],
             dev["target_tokens"], dev["classes"], a, a, k,
+            np.full((K,), B, np.int32),
         )
 
     # 3 warmup calls: the first ones pay server-side compiles for the
@@ -98,6 +99,7 @@ def main():
         trainable, opt_state, key, losses, _ = scan_fn(
             trainable, opt_state, dev["audio"], dev["input_tokens"],
             dev["target_tokens"], dev["classes"], a, a, key,
+            np.full((K,), B, np.int32),
         )
         float(np.asarray(losses)[-1])  # force completion (async-safe timing)
     dt = (time.perf_counter() - t0) / (N * K)

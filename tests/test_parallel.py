@@ -175,7 +175,7 @@ def test_mtl_train_step_dp_tp(tmp_path):
             trainer._trainable(), trainer.opt_state,
             dev["audio"], dev["input_tokens"], dev["target_tokens"], dev["classes"],
             jnp.asarray(0.5, jnp.float32), jnp.asarray(0.5, jnp.float32),
-            jax.random.PRNGKey(0),
+            jax.random.PRNGKey(0), np.int32(len(batch["classes"])),
         )
         losses[shape] = float(loss)
 
