@@ -619,6 +619,10 @@ class MultiTaskTrainer:
         n_batches = 0
         all_preds, all_labels, all_pred_texts, all_ref_texts = [], [], [], []
 
+        # dispatch every batch first (results stay on device — fetching
+        # inline would serialize each dispatch against the previous batch's
+        # compute), then drain
+        pending = []
         for batch in dataloader:
             dev, n_valid = self._device_batch(batch)
             aux = step_fn(
@@ -627,6 +631,10 @@ class MultiTaskTrainer:
                 jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
                 np.int32(n_valid),
             )
+            pending.append((batch, aux, n_valid))
+
+        for batch, aux, n_valid in pending:
+            aux = jax.device_get(aux)
             n_batches += 1
             # batch-mean losses over the *valid* rows only
             cls_rows = np.asarray(aux["cls_per_row"])[:n_valid]
