@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(
+def _flash_kernel_body(
     q_ref,  # (1, block_q, d)
     k_ref,  # (1, block_k, d)
     v_ref,  # (1, block_k, d)
@@ -52,6 +52,7 @@ def _flash_kernel(
     block_k: int,
     q_offset: int,
     scale: float,
+    lse_ref=None,  # (1, block_q, 1) fp32: per-row logsumexp (bwd residual)
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -117,6 +118,17 @@ def _flash_kernel(
         # fully-masked rows (padded queries) have l == 0 -> emit 0, not NaN
         safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[...] / safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scratch[...][:, :1]
+            lse_ref[0] = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(safe))
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
+    _flash_kernel_body(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw)
+
+
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, **kw):
+    _flash_kernel_body(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, lse_ref=lse_ref, **kw)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -143,7 +155,7 @@ def _default_blocks(tq: int, tk: int, causal: bool) -> tuple:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "q_offset", "kv_valid_len", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "q_offset", "kv_valid_len", "scale", "block_q", "block_k", "interpret", "return_lse"),
 )
 def flash_attention(
     q: jnp.ndarray,  # (BH, Tq, d)
@@ -157,12 +169,14 @@ def flash_attention(
     block_q: int | None = None,
     block_k: int | None = None,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     """softmax(scale * q @ k^T + mask) @ v, fused, over flattened (batch*heads).
 
     `causal` masks key_pos > q_offset + query_pos (the KV-cache prefill rule
     of models/whisper.py:decoder_apply); `kv_valid_len` masks a padded key
-    tail. Returns (BH, Tq, d) in v.dtype.
+    tail. Returns (BH, Tq, d) in v.dtype — plus the per-row logsumexp
+    (BH, Tq, 1) fp32 when return_lse is set (the backward-pass residual).
     """
     bh, tq, d = q.shape
     tk = k.shape[1]
@@ -183,40 +197,58 @@ def flash_attention(
 
     grid = (bh, tq_pad // block_q, tk_pad // block_k)
 
-    kernel = functools.partial(
-        _flash_kernel,
-        causal=causal,
-        q_len=tq,
-        kv_len=kv_len,
-        block_q=block_q,
-        block_k=block_k,
-        q_offset=q_offset,
-        scale=scale,
+    kw = dict(
+        causal=causal, q_len=tq, kv_len=kv_len, block_q=block_q,
+        block_k=block_k, q_offset=q_offset, scale=scale,
+    )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+    ]
+    o_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    scratch = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    cost = pl.CostEstimate(
+        flops=4 * bh * tq_pad * tk_pad * d,
+        bytes_accessed=(bh * (tq_pad + 2 * tk_pad + tq_pad) * d) * q.dtype.itemsize,
+        transcendentals=bh * tq_pad * tk_pad,
     )
 
+    if return_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel_lse, **kw),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(o_spec, pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, tq_pad, d), v.dtype),
+                jax.ShapeDtypeStruct((bh, tq_pad, 1), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+        if tq_pad != tq:
+            out, lse = out[:, :tq], lse[:, :tq]
+        return out, lse
+
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_flash_kernel, **kw),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        in_specs=in_specs,
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), v.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * tq_pad * tk_pad * d,
-            bytes_accessed=(bh * (tq_pad + 2 * tk_pad + tq_pad) * d) * q.dtype.itemsize,
-            transcendentals=bh * tq_pad * tk_pad,
-        ),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        cost_estimate=cost,
         interpret=interpret,
     )(q, k, v)
 
@@ -240,13 +272,200 @@ def flash_attention_bhtd(
 
 
 # ---------------------------------------------------------------------------
-# differentiable wrapper: Pallas forward, recompute backward
+# Pallas backward kernels (FlashAttention-2 style)
 # ---------------------------------------------------------------------------
 #
-# The backward pass recomputes the (Tq, Tk) attention matrix with plain XLA
-# einsums — exact gradients, and the forward stays fused (the training hot
-# loop is forward-dominated here: metrics decode + eval reuse the forward).
-# A fully-blocked Pallas backward is a later optimization.
+# Residuals: q, k, v, o and the per-row logsumexp L. With
+# delta = rowsum(dO * O) (computed in XLA, it's elementwise), each tile's
+# probabilities are recomputed as P = exp(scale*qk^T - L) and
+#   dV = P^T dO,   dS = P * (dO V^T - delta) * scale,   dQ = dS K,  dK = dS^T Q
+# Two kernels so every accumulator lives in VMEM across its reduction axis:
+# dQ sweeps keys per query block; dK/dV sweep queries per key block.
+
+
+def _bwd_tile(q, k, lse, q_pos, k_pos, *, causal, q_len, kv_len, q_offset, scale):
+    """Recompute the (block_q, block_k) probability tile from residuals."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * scale
+    mask = (k_pos < kv_len) & (q_pos < q_len)
+    if causal:
+        mask &= k_pos <= (q_offset + q_pos)
+    p = jnp.exp(s - lse)  # lse: (block_q, 1)
+    return jnp.where(mask, p, 0.0)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
+    *, causal, q_len, kv_len, block_q, block_k, q_offset, scale,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    run_block = (ki * block_k) <= (q_offset + qi * block_q + block_q - 1) if causal else ki >= 0
+
+    @pl.when(run_block)
+    def _compute():
+        p = _bwd_tile(
+            q_ref[0], k_ref[0], lse_ref[0], q_pos, k_pos,
+            causal=causal, q_len=q_len, kv_len=kv_len, q_offset=q_offset, scale=scale,
+        )
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        ds = p * (dp - delta_ref[0]) * scale
+        acc[...] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    acc_dk, acc_dv,
+    *, causal, q_len, kv_len, block_q, block_k, q_offset, scale,
+):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros_like(acc_dk)
+        acc_dv[...] = jnp.zeros_like(acc_dv)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    run_block = (ki * block_k) <= (q_offset + qi * block_q + block_q - 1) if causal else qi >= 0
+
+    @pl.when(run_block)
+    def _compute():
+        p = _bwd_tile(
+            q_ref[0], k_ref[0], lse_ref[0], q_pos, k_pos,
+            causal=causal, q_len=q_len, kv_len=kv_len, q_offset=q_offset, scale=scale,
+        )
+        do = do_ref[0]
+        acc_dv[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_k, d)
+        dp = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0]) * scale
+        acc_dk[...] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_k, d)
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "q_offset", "kv_valid_len", "scale", "interpret"),
+)
+def flash_attention_bwd(
+    q, k, v, out, lse, g,
+    *,
+    causal: bool = False,
+    q_offset: int = 0,
+    kv_valid_len: int | None = None,
+    scale: float = 1.0,
+    interpret: bool = False,
+):
+    """(dq, dk, dv) for flash_attention, all-Pallas (no (Tq, Tk) tensor in HBM)."""
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    kv_len = kv_valid_len if kv_valid_len is not None else tk
+
+    block_q, block_k = _default_blocks(tq, tk, causal)
+    block_q = min(block_q, _round_up(tq, 128))
+    block_k = min(block_k, _round_up(tk, 128))
+    tq_pad = _round_up(tq, block_q)
+    tk_pad = _round_up(tk, block_k)
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    if tq_pad != tq:
+        pad = ((0, 0), (0, tq_pad - tq), (0, 0))
+        q = jnp.pad(q, pad)
+        g = jnp.pad(g, pad)
+        lse = jnp.pad(lse, pad)
+        delta = jnp.pad(delta, pad)
+    if tk_pad != tk:
+        pad = ((0, 0), (0, tk_pad - tk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    kw = dict(causal=causal, q_len=tq, kv_len=kv_len, block_q=block_q,
+              block_k=block_k, q_offset=q_offset, scale=scale)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    k_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    r_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **kw),
+        grid=(bh, tq_pad // block_q, tk_pad // block_k),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, r_spec, r_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    # dkv grid: key blocks in the middle, query sweep innermost
+    qs_spec = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0))
+    ks_spec = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0))
+    rs_spec = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **kw),
+        grid=(bh, tk_pad // block_k, tq_pad // block_q),
+        in_specs=[qs_spec, ks_spec, ks_spec, qs_spec, rs_spec, rs_spec],
+        out_specs=(ks_spec, ks_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    dq = dq[:, :tq] if tq_pad != tq else dq
+    if tk_pad != tk:
+        dk, dv = dk[:, :tk], dv[:, :tk]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -257,32 +476,19 @@ def flash_attention_vjp(q, k, v, causal=False, q_offset=0, kv_valid_len=None, sc
 
 
 def _fa_fwd(q, k, v, causal, q_offset, kv_valid_len, scale):
-    out = flash_attention(
-        q, k, v, causal=causal, q_offset=q_offset, kv_valid_len=kv_valid_len, scale=scale
+    out, lse = flash_attention(
+        q, k, v, causal=causal, q_offset=q_offset, kv_valid_len=kv_valid_len,
+        scale=scale, return_lse=True,
     )
-    return out, (q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(causal, q_offset, kv_valid_len, scale, res, g):
-    q, k, v = res
-    tq, tk = q.shape[1], k.shape[1]
-    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
-    mask = jnp.ones((tq, tk), bool)
-    if kv_valid_len is not None:
-        mask &= jnp.arange(tk)[None, :] < kv_valid_len
-    if causal:
-        mask &= jnp.arange(tk)[None, :] <= (q_offset + jnp.arange(tq))[:, None]
-    s = jnp.where(mask[None], s, _NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)  # fp32 (BH, Tq, Tk)
-
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g32).astype(v.dtype)
-    dp = jnp.einsum("bqd,bkd->bqk", g32, v.astype(jnp.float32))
-    # softmax jacobian: dS = P * (dP - rowsum(dP * P)); dS carries the scale
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k.astype(jnp.float32)).astype(q.dtype)
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q.astype(jnp.float32)).astype(k.dtype)
-    return dq, dk, dv
+    q, k, v, out, lse = res
+    return flash_attention_bwd(
+        q, k, v, out, lse, g,
+        causal=causal, q_offset=q_offset, kv_valid_len=kv_valid_len, scale=scale,
+    )
 
 
 flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)

@@ -135,3 +135,54 @@ class TestFlashVJP:
                 np.asarray(fg), np.asarray(rg), atol=1e-4, rtol=1e-4,
                 err_msg=f"d{name} mismatch",
             )
+
+    @pytest.mark.parametrize("tq,tk", [(37, 300), (130, 257)])
+    def test_grads_with_padded_tails(self, tq, tk):
+        """Unaligned lengths: padded q rows must not leak into dk/dv and
+        padded k columns must not leak into dq."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_vjp
+
+        q, k, v = self._inputs(seed=3, tq=tq, tk=tk)
+
+        def ref_loss(q, k, v):
+            s = jnp.einsum("bqd,bkd->bqk", q, k) * 0.125
+            w = jax.nn.softmax(s, axis=-1)
+            return jnp.sum(jnp.einsum("bqk,bkd->bqd", w, v) ** 2)
+
+        def flash_loss(q, k, v):
+            out = flash_attention_vjp(q, k, v, False, 0, None, 0.125)
+            return jnp.sum(out ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            f_grads = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+        r_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for fg, rg in zip(f_grads, r_grads):
+            np.testing.assert_allclose(np.asarray(fg), np.asarray(rg), atol=1e-4)
+
+    def test_grads_with_kv_valid_len(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_vjp
+
+        q, k, v = self._inputs(seed=4, tq=64, tk=128)
+        valid = 101
+
+        def ref_loss(q, k, v):
+            s = jnp.einsum("bqd,bkd->bqk", q, k) * 0.125
+            s = jnp.where(jnp.arange(128)[None, None, :] < valid, s, -jnp.inf)
+            w = jax.nn.softmax(s, axis=-1)
+            return jnp.sum(jnp.sin(jnp.einsum("bqk,bkd->bqd", w, v)))
+
+        def flash_loss(q, k, v):
+            return jnp.sum(jnp.sin(flash_attention_vjp(q, k, v, False, 0, valid, 0.125)))
+
+        with pltpu.force_tpu_interpret_mode():
+            f_grads = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+        r_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for fg, rg in zip(f_grads, r_grads):
+            np.testing.assert_allclose(np.asarray(fg), np.asarray(rg), atol=1e-4)
+        # masked-out keys must receive exactly zero gradient
+        assert np.all(np.asarray(f_grads[1])[:, valid:] == 0)
+        assert np.all(np.asarray(f_grads[2])[:, valid:] == 0)
