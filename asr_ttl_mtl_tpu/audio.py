@@ -299,11 +299,30 @@ def log_mel_spectrogram_jax(audio: jnp.ndarray, n_mels: int = 80, padding: int =
     return (log_spec + 4.0) / 4.0
 
 
+def _mel_dispatch(
+    audio: jnp.ndarray, n_mels: int, padding: int, use_pallas: Optional[bool]
+) -> jnp.ndarray:
+    """Pick the fused Pallas frontend kernel (ops/pallas_mel.py) when it
+    applies — single-device TPU, whole-bucket frame counts — else the
+    pure-XLA matmul formulation. Both are numerically parity-tested against
+    each other and the reference."""
+    n_frames = (audio.shape[-1] + padding) // HOP_LENGTH
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .ops import pallas_mel
+
+        if pallas_mel.supports(n_frames):
+            return pallas_mel.log_mel_spectrogram_pallas(audio, n_mels=n_mels, padding=padding)
+    return log_mel_spectrogram_jax(audio, n_mels=n_mels, padding=padding)
+
+
 def log_mel_spectrogram(
     audio: Union[str, np.ndarray, jnp.ndarray],
     n_mels: int = 80,
     padding: int = 0,
     device: Optional[object] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Host-friendly wrapper: accepts a file path or waveform array.
 
@@ -321,11 +340,11 @@ def log_mel_spectrogram(
         total = n + padding
         true_frames = total // HOP_LENGTH
         bucket = ((total + N_SAMPLES - 1) // N_SAMPLES) * N_SAMPLES
-        out = log_mel_spectrogram_jax(
-            audio, n_mels=n_mels, padding=padding + (bucket - total)
-        )[..., :true_frames]
+        out = _mel_dispatch(audio, n_mels, padding + (bucket - total), use_pallas)[
+            ..., :true_frames
+        ]
     else:
-        out = log_mel_spectrogram_jax(audio, n_mels=n_mels, padding=padding)
+        out = _mel_dispatch(audio, n_mels, padding, use_pallas)
     if device is not None:
         out = jax.device_put(out, device)
     return out

@@ -86,6 +86,19 @@ def main():
     want_m = np.asarray(median_filter(xm, 7))
     print(f"pallas median identical: {np.array_equal(got_m, want_m)}", flush=True)
 
+    # --- 1b. fused Pallas log-mel frontend vs the XLA matmul-DFT path ---
+    from asr_ttl_mtl_tpu.audio import N_SAMPLES, log_mel_spectrogram_jax
+    from asr_ttl_mtl_tpu.ops.pallas_mel import log_mel_spectrogram_pallas
+
+    wav = jnp.asarray((rng.randn(8, N_SAMPLES) * 0.1).astype(np.float32))
+    mel_err = np.abs(
+        np.asarray(log_mel_spectrogram_pallas(wav)) - np.asarray(log_mel_spectrogram_jax(wav))
+    ).max()
+    print(f"pallas log-mel max abs err vs XLA: {mel_err:.2e}", flush=True)
+    assert mel_err < 1e-4, "log-mel parity FAILED"
+    timeit("log-mel  XLA   B=8", lambda: log_mel_spectrogram_jax(wav))
+    timeit("log-mel  Pallas B=8", lambda: log_mel_spectrogram_pallas(wav))
+
     # --- 2. Pallas DTW parity on device ---
     x = rng.rand(40, 300).astype(np.float32)
     trace_dev = dtw_trace_pallas(-x)
