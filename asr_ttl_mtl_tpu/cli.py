@@ -67,6 +67,7 @@ def cli():
     parser.add_argument("--max_words_per_line", type=optional_int, default=None, help="(requires --word_timestamps, no effect with --max_line_width) max words per segment")
     parser.add_argument("--clip_timestamps", type=str, default="0", help="comma-separated start,end,... timestamps (s) of clips to process")
     parser.add_argument("--hallucination_silence_threshold", type=optional_float, help="(requires --word_timestamps) skip silent periods longer than this (s) when a possible hallucination is detected")
+    parser.add_argument("--threads", type=optional_int, default=0, help="number of CPU threads used for host-side compute (reference transcribe.py:564 exposes the same flag for torch)")
     # fmt: on
 
     args = parser.parse_args().__dict__
@@ -89,6 +90,15 @@ def cli():
         temperature = tuple(np.arange(temperature, 1.0 + 1e-6, increment))
     else:
         temperature = [temperature]
+
+    if (threads := args.pop("threads")) > 0:
+        # host-side CPU thread budget (the reference maps this to
+        # torch.set_num_threads, transcribe.py:590-591); must be set before
+        # the first jax/XLA CPU-client init to take effect
+        os.environ["OMP_NUM_THREADS"] = str(threads)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + f" --xla_cpu_multi_thread_eigen={threads > 1}"
+        ).strip()
 
     if device is not None:
         import jax

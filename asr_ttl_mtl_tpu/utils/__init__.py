@@ -75,3 +75,19 @@ def get_end(segments: List[dict]) -> Optional[float]:
         (w["end"] for s in reversed(segments) for w in reversed(s["words"])),
         segments[-1]["end"] if segments else None,
     )
+
+
+# Re-export the writers so `asr_ttl_mtl_tpu.utils` presents the same surface
+# as the reference's flat `whisper/utils.py` (get_writer at utils.py:296,
+# writer classes :109-294). Imported last: writers.py pulls helpers defined
+# above from this module.
+from .writers import (  # noqa: E402,F401
+    ResultWriter,
+    SubtitlesWriter,
+    WriteJSON,
+    WriteSRT,
+    WriteTSV,
+    WriteTXT,
+    WriteVTT,
+    get_writer,
+)
