@@ -246,11 +246,14 @@ def run_beam_search(
         np.int32(task.sot_index),
         np.int32(no_speech),
     )
-    fin_tokens = np.asarray(fin_tokens)
-    fin_scores = np.asarray(fin_scores)
-    fin_count = np.asarray(fin_count)
-    live_buf = np.asarray(live_buf).reshape(n_audio, K, -1)
-    live_sum_lp = np.asarray(live_sum_lp).reshape(n_audio, K)
+    # single-round-trip fetch of all seven outputs (see decoding.fetch_packed)
+    from .decoding import fetch_packed
+
+    fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = fetch_packed(
+        fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled
+    )
+    live_buf = live_buf.reshape(n_audio, K, -1)
+    live_sum_lp = live_sum_lp.reshape(n_audio, K)
     n_sampled = int(n_sampled)
     eot = task.tokenizer.eot
 

@@ -202,6 +202,41 @@ def _apply_filters(
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _pack_for_fetch(*arrays):
+    """Concatenate arrays into ONE flat int32 buffer (floats bitcast).
+
+    Every device->host fetch is a full tunnel round trip (~30 ms measured on
+    the remote-attached chip), so a program with N small outputs pays N round
+    trips unless they are packed device-side and fetched once."""
+    parts = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            a = jax.lax.bitcast_convert_type(a.astype(jnp.float32), jnp.int32)
+        else:
+            a = a.astype(jnp.int32)
+        parts.append(a.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def fetch_packed(*arrays) -> List[np.ndarray]:
+    """Fetch device arrays to host numpy in a single round trip, restoring
+    each array's shape (floats come back as float32, ints as int32)."""
+    flat = np.asarray(_pack_for_fetch(*arrays))
+    out, off = [], 0
+    for a in arrays:
+        n = 1
+        for s in a.shape:
+            n *= s
+        seg = flat[off : off + n]
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+            seg = seg.copy().view(np.float32)
+        out.append(seg.reshape(a.shape))
+        off += n
+    return out
+
+
 @lru_cache(maxsize=64)
 def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
     """Compile-once greedy window decode: prefill + while_loop of steps.
@@ -770,10 +805,12 @@ class DecodingTask:
     def _assemble_greedy(self, buf, sum_lp, ns_probs, n_sampled,
                          n_audio: int, n_group: int, valid_len: int):
         """Host post-processing of a greedy program's outputs: slice the
-        sampled region and cut at the first EOT (reference decoding.py:749-752)."""
-        buf = np.asarray(buf)
-        sum_lp = np.asarray(sum_lp)
-        ns_probs = np.asarray(ns_probs)
+        sampled region and cut at the first EOT (reference decoding.py:749-752).
+
+        The four outputs are packed on device and fetched in ONE round trip
+        (fetch_packed): 4 fetches -> 1 cuts ~100 ms off every batched
+        window on the remote-attached chip."""
+        buf, sum_lp, ns_probs, n_sampled = fetch_packed(buf, sum_lp, ns_probs, n_sampled)
         n_sampled = int(np.max(n_sampled))
 
         tokens: List[List[List[int]]] = []
