@@ -25,7 +25,7 @@ TPU re-design vs the reference:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Tuple
 
 import jax
@@ -49,173 +49,222 @@ def _build_beam_loop(
     max_candidates: int,
     compute_dtype_name: str,
 ):
-    """fn(params, cross_kv (replicated per beam), initial_tokens (B*K, bucket),
-    valid_len, sot_index, no_speech_token)
+    """fn(params, cross_kv (B audio rows, shared across beams), initial_tokens
+    (B, bucket), valid_len, sot_index, no_speech_token)
       -> (fin_tokens (B, C, L), fin_scores (B, C), fin_count (B,),
-          live_buf (B*K, L), live_sum_lp (B*K,), no_speech_probs (B*K,), n_sampled)
+          live_buf (B*K, L), live_sum_lp (B*K,), no_speech_probs (B,), n_sampled)
     """
+    run = partial(
+        _beam_program, dims=dims, cfg=cfg, bucket=bucket, sample_len=sample_len,
+        beam_size=beam_size, max_candidates=max_candidates,
+        compute_dtype=jnp.dtype(compute_dtype_name),
+    )
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=32)
+def _build_beam_window(
+    dims,
+    cfg: FilterConfig,
+    bucket: int,
+    sample_len: int,
+    beam_size: int,
+    max_candidates: int,
+    compute_dtype_name: str,
+):
+    """Like _build_beam_loop but takes the MEL: encoder + cross-KV + beam
+    search as ONE XLA program — one dispatch per window instead of two."""
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
-    K, C = beam_size, max_candidates
-    buf_len = bucket + sample_len
-    # cache bounded to the decode horizon, 128-aligned for TPU tiling
-    cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
 
-    def run(params, cross_kv, initial_tokens, valid_len, sot_index, no_speech_token):
-        BK = initial_tokens.shape[0]
-        B = BK // K
-        cache = W.init_kv_cache(dims, BK, compute_dtype, ctx=cache_len)
-
-        prefill_logits, cache, _ = W.decoder_apply(
-            params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
-            pos_offset=0, compute_dtype=compute_dtype,
-        )
-        probs_at_sot = jax.nn.softmax(
-            jnp.take_along_axis(
-                prefill_logits, sot_index[None, None, None].astype(jnp.int32), axis=1
-            )[:, 0],
-            axis=-1,
-        )
-        no_speech_probs = jnp.where(
-            no_speech_token >= 0, probs_at_sot[:, jnp.maximum(no_speech_token, 0)], jnp.nan
-        )
-        first_logits = jnp.take_along_axis(
-            prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
-        )[:, 0]
-
-        tokens_buf = jnp.concatenate(
-            [initial_tokens, jnp.full((BK, sample_len), cfg.eot, jnp.int32)], axis=1
-        )
-        # only beam 0 is live at the start (see module docstring)
-        sum_lp = jnp.tile(
-            jnp.asarray([0.0] + [_NEG] * (K - 1), _F32), (B,)
-        )
-
-        state = dict(
-            i=jnp.asarray(0, jnp.int32),
-            logits=first_logits,
-            cache=cache,
-            buf=tokens_buf,
-            sum_lp=sum_lp,
-            prev=jnp.full((BK,), -1, jnp.int32),
-            penult=jnp.full((BK,), -1, jnp.int32),
-            last_ts=jnp.full((BK,), -1, jnp.int32),
-            fin_tokens=jnp.full((B, C + 1, buf_len), cfg.eot, jnp.int32),
-            fin_scores=jnp.full((B, C + 1), -jnp.inf, _F32),
-            fin_count=jnp.zeros((B,), jnp.int32),
-        )
-
-        def cond(s):
-            pos = valid_len + s["i"]
-            done = jnp.all(s["fin_count"] >= C)
-            return (s["i"] < sample_len) & (~done) & (pos < dims.n_text_ctx)
-
-        def body(s):
-            pos = valid_len + s["i"]
-            logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
-            logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
-
-            # per-beam top-(K+1) candidates (reference decoding.py:342)
-            top_lp, top_tok = jax.lax.top_k(logprobs, K + 1)  # (BK, K+1)
-            cand_scores = (s["sum_lp"][:, None] + top_lp).reshape(B, K * (K + 1))
-            cand_tok = top_tok.reshape(B, K * (K + 1))
-            cand_parent = jnp.repeat(jnp.arange(K), K + 1)[None, :].repeat(B, 0)
-
-            # global sort: descending score (stable)
-            order = jnp.argsort(-cand_scores, axis=1, stable=True)
-            cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
-            cand_tok = jnp.take_along_axis(cand_tok, order, axis=1)
-            cand_parent = jnp.take_along_axis(cand_parent, order, axis=1)
-
-            valid = cand_scores > _INVALID
-            is_eot = (cand_tok == cfg.eot) & valid
-
-            # --- next K live beams: best non-EOT candidates in score order ---
-            keep = (~is_eot) & valid
-            keep_cum = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # inclusive
-            keep_rank = keep_cum - 1
-            selected = keep & (keep_rank < K)
-            # the reference stops scanning candidates once K beams are saved
-            # (decoding.py:350-360), so EOT candidates ranked below the K-th
-            # kept one never reach the finished set
-            is_eot = is_eot & (keep_cum < K)
-            # compact the selected candidates to the front, preserving order
-            comp = jnp.argsort(~selected, axis=1, stable=True)[:, :K]  # (B, K)
-            new_scores = jnp.take_along_axis(cand_scores, comp, axis=1)  # (B, K)
-            new_tok = jnp.take_along_axis(cand_tok, comp, axis=1)
-            new_parent = jnp.take_along_axis(cand_parent, comp, axis=1)
-
-            src = (new_parent + jnp.arange(B)[:, None] * K).reshape(BK)  # global rows
-            buf = s["buf"][src]
-            buf = jax.lax.dynamic_update_slice(buf, new_tok.reshape(BK, 1), (0, pos))
-            cache = {"k": s["cache"]["k"][:, src], "v": s["cache"]["v"][:, src]}
-            new_sum_lp = new_scores.reshape(BK)
-
-            prev = new_tok.reshape(BK)
-            penult = s["prev"][src]
-            is_ts = prev >= cfg.timestamp_begin
-            last_ts = jnp.where(is_ts, prev, s["last_ts"][src])
-
-            # --- retire EOT candidates into the finished set ---------------
-            eot_rank = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) - 1
-            slot = jnp.where(is_eot, s["fin_count"][:, None] + eot_rank, C)
-            slot = jnp.minimum(slot, C)  # overflow -> scratch slot C
-            # finished sequence = parent row with EOT at `pos`
-            parent_rows = s["buf"].reshape(B, K, buf_len)[
-                jnp.arange(B)[:, None], cand_parent
-            ]  # (B, K*(K+1), L)
-            parent_rows = jax.lax.dynamic_update_slice(
-                parent_rows,
-                jnp.full((B, K * (K + 1), 1), cfg.eot, jnp.int32),
-                (0, 0, pos),
-            )
-            fin_tokens = s["fin_tokens"].at[jnp.arange(B)[:, None], slot].set(parent_rows)
-            fin_scores = s["fin_scores"].at[jnp.arange(B)[:, None], slot].set(cand_scores)
-            fin_count = jnp.minimum(
-                s["fin_count"] + is_eot.sum(axis=1).astype(jnp.int32), C
-            )
-            # scratch slot stays inert
-            fin_tokens = fin_tokens.at[:, C].set(cfg.eot)
-            fin_scores = fin_scores.at[:, C].set(-jnp.inf)
-
-            step_logits, cache, _ = W.decoder_apply(
-                params, dims, prev[:, None], cross_kv=cross_kv,
-                kv_cache=cache, pos_offset=pos, compute_dtype=compute_dtype,
-            )
-            return dict(
-                i=s["i"] + 1,
-                logits=step_logits[:, 0],
-                cache=cache,
-                buf=buf,
-                sum_lp=new_sum_lp,
-                prev=prev,
-                penult=penult,
-                last_ts=last_ts,
-                fin_tokens=fin_tokens,
-                fin_scores=fin_scores,
-                fin_count=fin_count,
-            )
-
-        final = jax.lax.while_loop(cond, body, state)
-        return (
-            final["fin_tokens"][:, :C],
-            final["fin_scores"][:, :C],
-            final["fin_count"],
-            final["buf"],
-            final["sum_lp"],
-            no_speech_probs,
-            final["i"],
+    def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token):
+        feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype)
+        cross_kv = W.precompute_cross_kv(params, dims, feats)
+        return _beam_program(
+            params, cross_kv, initial_tokens, valid_len, sot_index,
+            no_speech_token, dims=dims, cfg=cfg, bucket=bucket,
+            sample_len=sample_len, beam_size=beam_size,
+            max_candidates=max_candidates, compute_dtype=compute_dtype,
         )
 
     return jax.jit(run)
 
 
+def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
+                  no_speech_token, *, dims, cfg: FilterConfig, bucket: int,
+                  sample_len: int, beam_size: int, max_candidates: int,
+                  compute_dtype):
+    from .models import whisper as W
+
+    K, C = beam_size, max_candidates
+    buf_len = bucket + sample_len
+    # cache bounded to the decode horizon, 128-aligned for TPU tiling
+    cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
+
+    # prefill once per AUDIO (beams start identical), then replicate the
+    # self-attention cache K-fold — (K-1)/K of the prefill FLOPs saved
+    B = initial_tokens.shape[0]
+    BK = B * K
+    cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
+
+    prefill_logits, cache, _ = W.decoder_apply(
+        params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
+        pos_offset=0, compute_dtype=compute_dtype,
+    )
+    cache = jax.tree.map(lambda x: jnp.repeat(x, K, axis=1), cache)
+    probs_at_sot = jax.nn.softmax(
+        jnp.take_along_axis(
+            prefill_logits, sot_index[None, None, None].astype(jnp.int32), axis=1
+        )[:, 0],
+        axis=-1,
+    )
+    no_speech_probs = jnp.where(
+        no_speech_token >= 0, probs_at_sot[:, jnp.maximum(no_speech_token, 0)], jnp.nan
+    )  # (B,)
+    first_logits = jnp.repeat(
+        jnp.take_along_axis(
+            prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
+        )[:, 0],
+        K,
+        axis=0,
+    )
+
+    tokens_buf = jnp.concatenate(
+        [jnp.repeat(initial_tokens, K, axis=0),
+         jnp.full((BK, sample_len), cfg.eot, jnp.int32)], axis=1
+    )
+    # only beam 0 is live at the start (see module docstring)
+    sum_lp = jnp.tile(
+        jnp.asarray([0.0] + [_NEG] * (K - 1), _F32), (B,)
+    )
+
+    state = dict(
+        i=jnp.asarray(0, jnp.int32),
+        logits=first_logits,
+        cache=cache,
+        buf=tokens_buf,
+        sum_lp=sum_lp,
+        prev=jnp.full((BK,), -1, jnp.int32),
+        penult=jnp.full((BK,), -1, jnp.int32),
+        last_ts=jnp.full((BK,), -1, jnp.int32),
+        fin_tokens=jnp.full((B, C + 1, buf_len), cfg.eot, jnp.int32),
+        fin_scores=jnp.full((B, C + 1), -jnp.inf, _F32),
+        fin_count=jnp.zeros((B,), jnp.int32),
+    )
+
+    def cond(s):
+        pos = valid_len + s["i"]
+        done = jnp.all(s["fin_count"] >= C)
+        return (s["i"] < sample_len) & (~done) & (pos < dims.n_text_ctx)
+
+    def body(s):
+        pos = valid_len + s["i"]
+        logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
+        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
+
+        # per-beam top-(K+1) candidates (reference decoding.py:342)
+        top_lp, top_tok = jax.lax.top_k(logprobs, K + 1)  # (BK, K+1)
+        cand_scores = (s["sum_lp"][:, None] + top_lp).reshape(B, K * (K + 1))
+        cand_tok = top_tok.reshape(B, K * (K + 1))
+        cand_parent = jnp.repeat(jnp.arange(K), K + 1)[None, :].repeat(B, 0)
+
+        # global sort: descending score (stable)
+        order = jnp.argsort(-cand_scores, axis=1, stable=True)
+        cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+        cand_tok = jnp.take_along_axis(cand_tok, order, axis=1)
+        cand_parent = jnp.take_along_axis(cand_parent, order, axis=1)
+
+        valid = cand_scores > _INVALID
+        is_eot = (cand_tok == cfg.eot) & valid
+
+        # --- next K live beams: best non-EOT candidates in score order ---
+        keep = (~is_eot) & valid
+        keep_cum = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # inclusive
+        keep_rank = keep_cum - 1
+        selected = keep & (keep_rank < K)
+        # the reference stops scanning candidates once K beams are saved
+        # (decoding.py:350-360), so EOT candidates ranked below the K-th
+        # kept one never reach the finished set
+        is_eot = is_eot & (keep_cum < K)
+        # compact the selected candidates to the front, preserving order
+        comp = jnp.argsort(~selected, axis=1, stable=True)[:, :K]  # (B, K)
+        new_scores = jnp.take_along_axis(cand_scores, comp, axis=1)  # (B, K)
+        new_tok = jnp.take_along_axis(cand_tok, comp, axis=1)
+        new_parent = jnp.take_along_axis(cand_parent, comp, axis=1)
+
+        src = (new_parent + jnp.arange(B)[:, None] * K).reshape(BK)  # global rows
+        buf = s["buf"][src]
+        buf = jax.lax.dynamic_update_slice(buf, new_tok.reshape(BK, 1), (0, pos))
+        cache = {"k": s["cache"]["k"][:, src], "v": s["cache"]["v"][:, src]}
+        new_sum_lp = new_scores.reshape(BK)
+
+        prev = new_tok.reshape(BK)
+        penult = s["prev"][src]
+        is_ts = prev >= cfg.timestamp_begin
+        last_ts = jnp.where(is_ts, prev, s["last_ts"][src])
+
+        # --- retire EOT candidates into the finished set ---------------
+        eot_rank = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) - 1
+        slot = jnp.where(is_eot, s["fin_count"][:, None] + eot_rank, C)
+        slot = jnp.minimum(slot, C)  # overflow -> scratch slot C
+        # finished sequence = parent row with EOT at `pos`
+        parent_rows = s["buf"].reshape(B, K, buf_len)[
+            jnp.arange(B)[:, None], cand_parent
+        ]  # (B, K*(K+1), L)
+        parent_rows = jax.lax.dynamic_update_slice(
+            parent_rows,
+            jnp.full((B, K * (K + 1), 1), cfg.eot, jnp.int32),
+            (0, 0, pos),
+        )
+        fin_tokens = s["fin_tokens"].at[jnp.arange(B)[:, None], slot].set(parent_rows)
+        fin_scores = s["fin_scores"].at[jnp.arange(B)[:, None], slot].set(cand_scores)
+        fin_count = jnp.minimum(
+            s["fin_count"] + is_eot.sum(axis=1).astype(jnp.int32), C
+        )
+        # scratch slot stays inert
+        fin_tokens = fin_tokens.at[:, C].set(cfg.eot)
+        fin_scores = fin_scores.at[:, C].set(-jnp.inf)
+
+        step_logits, cache, _ = W.decoder_apply(
+            params, dims, prev[:, None], cross_kv=cross_kv,
+            kv_cache=cache, pos_offset=pos, compute_dtype=compute_dtype,
+        )
+        return dict(
+            i=s["i"] + 1,
+            logits=step_logits[:, 0],
+            cache=cache,
+            buf=buf,
+            sum_lp=new_sum_lp,
+            prev=prev,
+            penult=penult,
+            last_ts=last_ts,
+            fin_tokens=fin_tokens,
+            fin_scores=fin_scores,
+            fin_count=fin_count,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return (
+        final["fin_tokens"][:, :C],
+        final["fin_scores"][:, :C],
+        final["fin_count"],
+        final["buf"],
+        final["sum_lp"],
+        no_speech_probs,
+        final["i"],
+    )
+
+
+
 def run_beam_search(
-    task, feats, cross_kv, initial: np.ndarray
+    task, feats, cross_kv, initial: np.ndarray, fused_mel=None
 ) -> Tuple[List[List[List[int]]], List[List[float]], np.ndarray]:
     """Returns (tokens, sum_logprobs, no_speech_probs) in DecodingTask.run's
-    group format (one candidate list per audio)."""
+    group format (one candidate list per audio).
+
+    With fused_mel, the encoder runs inside the same XLA program as the beam
+    loop (one dispatch per window instead of two)."""
     options = task.options
     K = options.beam_size
     patience = options.patience or 1.0
@@ -223,8 +272,10 @@ def run_beam_search(
     assert C > 0, f"Invalid beam size ({K}) or patience ({patience})"
 
     n_audio = initial.shape[0]
-    initial = np.repeat(initial, K, axis=0)
-    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, K, axis=1), cross_kv)
+    # initial tokens and cross_kv stay at n_audio rows: prefill runs once per
+    # audio, and the decoder maps beam row a*K+k to cross-KV row a
+    # (models/whisper.py kv_group) — K-fold less HBM traffic in decode
+    # cross-attention, which dominates the beam step
 
     valid_len = initial.shape[1]
     from .decoding import _bucket
@@ -234,18 +285,19 @@ def run_beam_search(
     padded[:, :valid_len] = initial
 
     sample_len = min(task.sample_len, task.n_ctx)
-    loop = _build_beam_loop(
-        task.model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
-    )
     no_speech = task.tokenizer.no_speech if task.tokenizer.no_speech is not None else -1
-    fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = loop(
-        task.model.params,
-        cross_kv,
-        padded,
-        np.int32(valid_len),
-        np.int32(task.sot_index),
-        np.int32(no_speech),
-    )
+    scalars = (np.int32(valid_len), np.int32(task.sot_index), np.int32(no_speech))
+    if fused_mel is not None:
+        loop = _build_beam_window(
+            task.model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
+        )
+        outs = loop(task.model.params, fused_mel, padded, *scalars)
+    else:
+        loop = _build_beam_loop(
+            task.model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
+        )
+        outs = loop(task.model.params, cross_kv, padded, *scalars)
+    fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = outs
     # single-round-trip fetch of all seven outputs (see decoding.fetch_packed)
     from .decoding import fetch_packed
 
@@ -280,5 +332,5 @@ def run_beam_search(
         tokens.append(seqs)
         sum_logprobs.append(scores)
 
-    no_speech_probs = np.asarray(ns_probs).reshape(n_audio, K)[:, 0]
+    no_speech_probs = np.asarray(ns_probs).reshape(n_audio)
     return tokens, sum_logprobs, no_speech_probs

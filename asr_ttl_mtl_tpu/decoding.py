@@ -689,13 +689,11 @@ class DecodingTask:
         mel = jnp.asarray(mel)
         n_audio = mel.shape[0]
 
-        # plain greedy with a known language: encoder + cross-KV + decode
-        # loop run as ONE fused XLA program (halves dispatch round-trips)
+        # known language: encoder + cross-KV + decode loop (greedy, best-of,
+        # or beam) run as ONE fused XLA program (halves dispatch round-trips)
         fused_mel = None
         if (
-            self.options.beam_size is None
-            and self.n_group == 1
-            and self.options.task != "lang_id"
+            self.options.task != "lang_id"
             and self.options.language is not None
             and not self.options.return_audio_features
             and mel.shape[-2:]
@@ -728,7 +726,9 @@ class DecodingTask:
         if self.options.beam_size is not None:
             from .beam import run_beam_search
 
-            tokens, sum_logprobs, no_speech_probs = run_beam_search(self, feats, cross_kv, initial)
+            tokens, sum_logprobs, no_speech_probs = run_beam_search(
+                self, feats, cross_kv, initial, fused_mel=fused_mel
+            )
         else:
             tokens, sum_logprobs, no_speech_probs = self._run_greedy(
                 feats, cross_kv, initial, rng_seed, fused_mel=fused_mel
@@ -764,11 +764,10 @@ class DecodingTask:
                     fused_mel=None):
         n_audio = initial.shape[0]
         n_group = self.n_group
-        if n_group > 1:  # best-of-N sampling: replicate rows
+        if n_group > 1:  # best-of-N sampling: replicate token rows only —
+            # the decoder shares one cross-KV row per audio across the group
+            # (models/whisper.py kv_group), so the KV is never copied
             initial = np.repeat(initial, n_group, axis=0)
-            cross_kv = jax.tree.map(
-                lambda x: jnp.repeat(x, n_group, axis=1), cross_kv
-            )
 
         valid_len = initial.shape[1]
         bucket = _bucket(valid_len)

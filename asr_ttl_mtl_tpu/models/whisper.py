@@ -312,6 +312,15 @@ def decoder_apply(
     if cross_kv is None and audio_features is not None:
         cross_kv = precompute_cross_kv(params, dims, audio_features)
 
+    # beam / best-of-N: query rows are audio-major beam groups sharing one
+    # cross-KV row each (row b*G+g attends audio b) — the KV is never
+    # replicated per beam, cutting cross-attention HBM traffic G-fold
+    kv_group = B // cross_kv["k"].shape[1]
+    assert B == kv_group * cross_kv["k"].shape[1], (
+        f"token batch {B} not a multiple of cross-KV batch {cross_kv['k'].shape[1]}"
+    )
+    assert not (return_cross_qk and kv_group > 1), "cross-QK capture needs group=1"
+
     # additive causal mask
     neg = jnp.asarray(-1e9, _F32)
     if kv_cache is None:
@@ -369,8 +378,16 @@ def decoder_apply(
         if fast_step:
             att, qk = decode_attention(
                 qc, cross_kv["k"], cross_kv["v"], li, dims.n_text_head,
-                scale=d_head_scale, interpret=dk_interpret,
+                scale=d_head_scale, group=kv_group, interpret=dk_interpret,
             ), None
+        elif kv_group > 1:
+            # fold the beam axis into query positions (cross-attention has
+            # no mask, so query rows are independent)
+            qg = qc.reshape(B // kv_group, kv_group * T, D)
+            att, qk = qkv_attention(
+                qg, cross_kv["k"][li], cross_kv["v"][li], dims.n_text_head
+            )
+            att = att.reshape(B, T, D)
         else:
             att, qk = qkv_attention(
                 qc, cross_kv["k"][li], cross_kv["v"][li], dims.n_text_head,

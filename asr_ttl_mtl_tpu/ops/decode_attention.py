@@ -38,10 +38,10 @@ _TARGET_BLOCK_BYTES = 1 << 20  # ~1 MB of K per program saturates HBM
 
 def _decode_attn_kernel(
     valid_ref,  # (1, 1) int32 in SMEM: highest valid key position (-1: all)
-    q_ref,      # (b_blk, 1, D)
+    q_ref,      # (b_blk, G, D) — G query rows share each cache row
     k_ref,      # (1, b_blk, Tk, D)
     v_ref,      # (1, b_blk, Tk, D)
-    o_ref,      # (b_blk, 1, D)
+    o_ref,      # (b_blk, G, D)
     *,
     n_head: int,
     scale: float,
@@ -58,13 +58,13 @@ def _decode_attn_kernel(
 
     for h in range(n_head):
         sl = slice(h * dh, (h + 1) * dh)
-        qh = q_ref[:, :, sl]  # (b_blk, 1, dh)
+        qh = q_ref[:, :, sl]  # (b_blk, G, dh)
         kh = k[:, :, sl]      # (b_blk, Tk, dh)
         vh = v[:, :, sl]
 
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (b_blk, 1, Tk)
+        )  # (b_blk, G, Tk)
         s = jnp.where(masked, _NEG_INF, s * scale)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
@@ -72,7 +72,7 @@ def _decode_attn_kernel(
         p = (p / l).astype(v.dtype)
         out = jax.lax.dot_general(
             p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (b_blk, 1, dh)
+        )  # (b_blk, G, dh)
         o_ref[:, :, sl] = out.astype(o_ref.dtype)
 
 
@@ -87,9 +87,11 @@ def _batch_block(b: int, tk: int, d: int, itemsize: int) -> int:
     return b_blk
 
 
-@functools.partial(jax.jit, static_argnames=("layer", "n_head", "scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("layer", "n_head", "scale", "group", "interpret")
+)
 def decode_attention(
-    q: jnp.ndarray,      # (B, 1, D)
+    q: jnp.ndarray,      # (B*group, 1, D)
     cache_k: jnp.ndarray,  # (L, B, Tk, D)
     cache_v: jnp.ndarray,  # (L, B, Tk, D)
     layer: int,
@@ -97,37 +99,44 @@ def decode_attention(
     *,
     scale: float,
     valid_upto=None,  # traced int32 scalar; None = every key valid (cross)
+    group: int = 1,   # query rows per cache row (beam/best-of share cross-KV)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """softmax(scale * q @ K_layer^T) @ V_layer for a 1-token query.
+    """softmax(scale * q @ K_layer^T) @ V_layer for 1-token queries.
 
     Indexes the layer inside the BlockSpec so the (L, B, Tk, D) cache is
-    never sliced/copied in HBM. Returns (B, 1, D) in q.dtype.
+    never sliced/copied in HBM. With group=G, query rows [b*G, (b+1)*G) all
+    attend over cache row b (audio-major beam layout) — the KV block is
+    streamed ONCE for all G beams instead of being replicated per beam.
+    Returns (B*group, 1, D) in q.dtype.
     """
     _, b, tk, d = cache_k.shape
+    assert q.shape[0] == b * group and q.shape[1] == 1
     valid = jnp.full((1, 1), -1 if valid_upto is None else valid_upto, jnp.int32)
     b_blk = _batch_block(b, tk, d, cache_k.dtype.itemsize)
+    qg = q.reshape(b, group, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b // b_blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((b_blk, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((b_blk, group, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, b_blk, tk, d), lambda i: (layer, i, 0, 0)),
             pl.BlockSpec((1, b_blk, tk, d), lambda i: (layer, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((b_blk, 1, d), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((b_blk, group, d), lambda i: (i, 0, 0)),
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_decode_attn_kernel, n_head=n_head, scale=scale, tk=tk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, group, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * tk * d,
+            flops=4 * b * group * tk * d,
             bytes_accessed=2 * b * tk * d * cache_k.dtype.itemsize,
-            transcendentals=b * tk,
+            transcendentals=b * group * tk,
         ),
         interpret=interpret,
-    )(valid, q, cache_k, cache_v)
+    )(valid, qg, cache_k, cache_v)
+    return out.reshape(b * group, 1, d)

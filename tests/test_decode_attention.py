@@ -111,3 +111,71 @@ class TestDecoderApplyIntegration:
         np.testing.assert_allclose(
             np.asarray(cache_dk["k"]), np.asarray(cache_ref["k"]), atol=1e-6
         )
+
+
+class TestGroupedCrossAttention:
+    """group>1: beam rows a*G+g share cross-KV row a (beam.py / decoding.py
+    best-of — the KV block is streamed once for all G beams)."""
+
+    def test_grouped_matches_replicated_kv(self):
+        G = 5
+        q_full, ck, cv = make(4, 3, 300, 128, seed=3)
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.randn(4 * G, 1, 128).astype(np.float32) * 0.3)
+        got = decode_attention(q, ck, cv, 2, 4, scale=0.125, group=G, interpret=True)
+        # oracle: replicate the KV per beam and run group=1
+        ck_rep = jnp.repeat(ck, G, axis=1)
+        cv_rep = jnp.repeat(cv, G, axis=1)
+        want = decode_attention(q, ck_rep, cv_rep, 2, 4, scale=0.125, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_decoder_step_with_grouped_cross_kv(self):
+        """decoder_apply single-token step: shared (B-row) cross-KV vs
+        per-beam-replicated cross-KV must give identical logits."""
+        dims = ModelDimensions(
+            n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_vocab=1000, n_text_ctx=64, n_text_state=64,
+            n_text_head=4, n_text_layer=2,
+        )
+        key = jax.random.PRNGKey(0)
+        params = W.init_params(key, dims)
+        B, G = 2, 3
+        feats = jax.random.normal(jax.random.PRNGKey(1), (B, 96, 64), jnp.float32)
+        cross = W.precompute_cross_kv(params, dims, feats)
+        cross_rep = jax.tree.map(lambda x: jnp.repeat(x, G, axis=1), cross)
+        tokens = jnp.asarray(np.random.RandomState(2).randint(0, 1000, (B * G, 1)), jnp.int32)
+        cache = W.init_kv_cache(dims, B * G, jnp.float32, ctx=64)
+
+        logits_shared, _, _ = W.decoder_apply(
+            params, dims, tokens, cross_kv=cross, kv_cache=cache, pos_offset=4
+        )
+        logits_rep, _, _ = W.decoder_apply(
+            params, dims, tokens, cross_kv=cross_rep, kv_cache=cache, pos_offset=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_shared), np.asarray(logits_rep), atol=1e-5
+        )
+
+    def test_decoder_prefill_with_grouped_cross_kv(self):
+        dims = ModelDimensions(
+            n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_vocab=1000, n_text_ctx=64, n_text_state=64,
+            n_text_head=4, n_text_layer=2,
+        )
+        params = W.init_params(jax.random.PRNGKey(0), dims)
+        B, G, T = 2, 4, 7
+        feats = jax.random.normal(jax.random.PRNGKey(1), (B, 96, 64), jnp.float32)
+        cross = W.precompute_cross_kv(params, dims, feats)
+        cross_rep = jax.tree.map(lambda x: jnp.repeat(x, G, axis=1), cross)
+        tokens = jnp.asarray(np.random.RandomState(2).randint(0, 1000, (B * G, T)), jnp.int32)
+        cache = W.init_kv_cache(dims, B * G, jnp.float32, ctx=64)
+
+        logits_shared, _, _ = W.decoder_apply(
+            params, dims, tokens, cross_kv=cross, kv_cache=cache, pos_offset=0
+        )
+        logits_rep, _, _ = W.decoder_apply(
+            params, dims, tokens, cross_kv=cross_rep, kv_cache=cache, pos_offset=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_shared), np.asarray(logits_rep), atol=1e-5
+        )

@@ -1,0 +1,176 @@
+"""Differential tests vs the reference for the less-traveled transcribe()
+options: detect_language, clip_timestamps, initial_prompt /
+carry_initial_prompt, condition_on_previous_text=False, and the
+hallucination-silence path (reference `whisper/transcribe.py:139-505`,
+`whisper/decoding.py:18-77`)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import import_reference_whisper, reference_available
+
+from asr_ttl_mtl_tpu.models.dims import PRESET_DIMS, ModelDimensions
+from asr_ttl_mtl_tpu.models.registry import WhisperModel, convert_torch_state_dict
+from asr_ttl_mtl_tpu.transcribe import transcribe
+
+if not reference_available():
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+import_reference_whisper()
+
+
+def _make_pair(dims: ModelDimensions, seed: int):
+    import torch
+    from whisper.model import ModelDimensions as RefDims, Whisper as RefWhisper
+
+    torch.manual_seed(seed)
+    ref = RefWhisper(RefDims(**dims.__dict__)).eval()
+    with torch.no_grad():
+        ref.decoder.positional_embedding.normal_(0, 0.02)
+    params = convert_torch_state_dict(dims, ref.state_dict())
+    ours = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+    return ref, ours
+
+
+@pytest.fixture(scope="module")
+def en_models():
+    dims = PRESET_DIMS["tiny.en"].replace(n_audio_layer=2, n_text_layer=2)
+    return _make_pair(dims, seed=3)
+
+
+@pytest.fixture(scope="module")
+def multi_models():
+    dims = PRESET_DIMS["tiny"].replace(n_audio_layer=2, n_text_layer=2)
+    return _make_pair(dims, seed=5)
+
+
+@pytest.fixture(scope="module")
+def long_wave():
+    """~40 s: noise bursts separated by silence, so the seek loop takes
+    multiple windows and the no-speech/hallucination paths see real silence."""
+    rng = np.random.RandomState(29)
+    sr = 16000
+    wave = np.zeros(40 * sr, dtype=np.float32)
+    for start_s in (0.5, 9.0, 22.0, 33.0):
+        seg = slice(int(start_s * sr), int((start_s + 4.0) * sr))
+        wave[seg] = (rng.randn(seg.stop - seg.start) * 0.1).astype(np.float32)
+    return wave
+
+
+def _assert_same_result(ours, ref):
+    assert ours["text"] == ref["text"]
+    assert ours["language"] == ref["language"]
+    assert len(ours["segments"]) == len(ref["segments"])
+    for so, sr in zip(ours["segments"], ref["segments"]):
+        assert so["tokens"] == sr["tokens"]
+        assert so["start"] == sr["start"] and so["end"] == sr["end"]
+        assert so["seek"] == sr["seek"]
+
+
+COMMON = dict(
+    without_timestamps=True,
+    sample_len=10,
+    temperature=0.0,
+    fp16=False,
+    verbose=None,
+)
+
+
+def test_detect_language_parity(multi_models):
+    """`detect_language` vs reference `whisper/decoding.py:18-77`: same argmax
+    token and matching per-language probabilities."""
+    import torch
+    from whisper.audio import log_mel_spectrogram as ref_mel, pad_or_trim as ref_pad
+    from whisper.decoding import detect_language as ref_detect
+
+    from asr_ttl_mtl_tpu.audio import log_mel_spectrogram, pad_or_trim
+    from asr_ttl_mtl_tpu.decoding import detect_language
+
+    ref_model, our_model = multi_models
+    rng = np.random.RandomState(17)
+    wave = (rng.randn(2 * 16000) * 0.1).astype(np.float32)
+
+    mel_r = ref_pad(ref_mel(torch.from_numpy(wave)), 3000)
+    tok_r, probs_r = ref_detect(ref_model, mel_r)
+
+    mel_o = pad_or_trim(np.asarray(log_mel_spectrogram(wave)), 3000, axis=-1)
+    tok_o, probs_o = detect_language(our_model, jnp.asarray(mel_o))
+
+    assert int(tok_o) == int(tok_r)
+    assert set(probs_o) == set(probs_r)
+    for code in probs_r:
+        np.testing.assert_allclose(probs_o[code], probs_r[code], atol=1e-4)
+    # batched form agrees with single form
+    toks_b, probs_b = detect_language(our_model, jnp.asarray(mel_o)[None])
+    assert int(toks_b[0]) == int(tok_o)
+    assert max(probs_b[0], key=probs_b[0].get) == max(probs_o, key=probs_o.get)
+
+
+def test_transcribe_auto_language_detection(multi_models):
+    """language=None on a multilingual model triggers detection in both."""
+    ref_model, our_model = multi_models
+    rng = np.random.RandomState(23)
+    wave = (rng.randn(2 * 16000) * 0.1).astype(np.float32)
+    ref = ref_model.transcribe(wave, **COMMON)
+    ours = transcribe(our_model, wave, **COMMON)
+    assert ours["language"] == ref["language"]
+    assert ours["text"] == ref["text"]
+
+
+def test_clip_timestamps_parity(en_models, long_wave):
+    """clip_timestamps windows restrict the seek loop identically
+    (reference transcribe.py:168-177, :272-281)."""
+    ref_model, our_model = en_models
+    kwargs = dict(COMMON, clip_timestamps="1.0,12.5,20.0,36.0")
+    ref = ref_model.transcribe(long_wave, **kwargs)
+    ours = transcribe(our_model, long_wave, **kwargs)
+    _assert_same_result(ours, ref)
+    # open-ended final clip ("from 20 s to end")
+    kwargs = dict(COMMON, clip_timestamps="20.0")
+    ref = ref_model.transcribe(long_wave, **kwargs)
+    ours = transcribe(our_model, long_wave, **kwargs)
+    _assert_same_result(ours, ref)
+
+
+@pytest.mark.parametrize("carry", [False, True])
+def test_initial_prompt_parity(en_models, long_wave, carry):
+    """initial_prompt tokens prepended (and re-carried when
+    carry_initial_prompt=True; reference transcribe.py:288-293, :503-505)."""
+    ref_model, our_model = en_models
+    kwargs = dict(
+        COMMON, initial_prompt="Speaker one: hello there.", carry_initial_prompt=carry
+    )
+    ref = ref_model.transcribe(long_wave[: 16000 * 35], **kwargs)
+    ours = transcribe(our_model, long_wave[: 16000 * 35], **kwargs)
+    _assert_same_result(ours, ref)
+
+
+def test_condition_on_previous_text_off(en_models, long_wave):
+    ref_model, our_model = en_models
+    kwargs = dict(COMMON, condition_on_previous_text=False)
+    ref = ref_model.transcribe(long_wave, **kwargs)
+    ours = transcribe(our_model, long_wave, **kwargs)
+    _assert_same_result(ours, ref)
+
+
+def test_hallucination_silence_parity(en_models, long_wave):
+    """word_timestamps + hallucination_silence_threshold: the silence-skip
+    heuristics (reference transcribe.py:316-476) fire identically."""
+    ref_model, our_model = en_models
+    kwargs = dict(
+        COMMON,
+        word_timestamps=True,
+        hallucination_silence_threshold=2.0,
+        no_speech_threshold=0.9,  # random weights: keep the VAD gate lenient
+    )
+    ref = ref_model.transcribe(long_wave, **kwargs)
+    ours = transcribe(our_model, long_wave, **kwargs)
+    assert ours["text"] == ref["text"]
+    assert len(ours["segments"]) == len(ref["segments"])
+    for so, sr in zip(ours["segments"], ref["segments"]):
+        assert so["tokens"] == sr["tokens"]
+        np.testing.assert_allclose(so["start"], sr["start"], atol=0.05)
+        np.testing.assert_allclose(so["end"], sr["end"], atol=0.05)
+        assert len(so.get("words", [])) == len(sr.get("words", []))
