@@ -62,8 +62,7 @@ def _build_beam_loop(
     return jax.jit(run)
 
 
-@lru_cache(maxsize=32)
-def _build_beam_window(
+def _beam_window_fn(
     dims,
     cfg: FilterConfig,
     bucket: int,
@@ -72,8 +71,9 @@ def _build_beam_window(
     max_candidates: int,
     compute_dtype_name: str,
 ):
-    """Like _build_beam_loop but takes the MEL: encoder + cross-KV + beam
-    search as ONE XLA program — one dispatch per window instead of two."""
+    """The un-jitted whole-window beam function (encoder + cross-KV + beam
+    loop). Callers jit it directly (_build_beam_window) or wrap it in
+    shard_map for data-parallel serving (parallel/serving.py)."""
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
@@ -88,7 +88,27 @@ def _build_beam_window(
             max_candidates=max_candidates, compute_dtype=compute_dtype,
         )
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=32)
+def _build_beam_window(
+    dims,
+    cfg: FilterConfig,
+    bucket: int,
+    sample_len: int,
+    beam_size: int,
+    max_candidates: int,
+    compute_dtype_name: str,
+):
+    """Like _build_beam_loop but takes the MEL: encoder + cross-KV + beam
+    search as ONE XLA program — one dispatch per window instead of two."""
+    return jax.jit(
+        _beam_window_fn(
+            dims, cfg, bucket, sample_len, beam_size, max_candidates,
+            compute_dtype_name,
+        )
+    )
 
 
 def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
@@ -100,6 +120,8 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
     K, C = beam_size, max_candidates
     buf_len = bucket + sample_len
     # cache bounded to the decode horizon, 128-aligned for TPU tiling
+    # (16-sublane alignment was tried and REGRESSED: 80-slot caches made
+    # the decode program 2x slower — XLA re-lays-out the non-128 carries)
     cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
 
     # prefill once per AUDIO (beams start identical), then replicate the
@@ -161,6 +183,11 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
     def body(s):
         pos = valid_len + s["i"]
         logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
+
+        # materialize log_softmax BEFORE top_k: XLA's multi-pass top_k fuses
+        # its producer, so feeding it the raw filter fusion re-executes the
+        # whole mask chain per pass (measured 2x slower); a materialized
+        # buffer is read once per pass instead
         logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
 
         # per-beam top-(K+1) candidates (reference decoding.py:342)
@@ -301,13 +328,24 @@ def run_beam_search(
     # single-round-trip fetch of all seven outputs (see decoding.fetch_packed)
     from .decoding import fetch_packed
 
-    fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = fetch_packed(
+    outs = fetch_packed(
         fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled
     )
-    live_buf = live_buf.reshape(n_audio, K, -1)
-    live_sum_lp = live_sum_lp.reshape(n_audio, K)
-    n_sampled = int(n_sampled)
-    eot = task.tokenizer.eot
+    return assemble_beam_results(outs, n_audio, K, valid_len, task.tokenizer.eot)
+
+
+def assemble_beam_results(outs, n_audio: int, K: int, valid_len: int, eot: int):
+    """Host-side finalize over fetched beam-program outputs: EOT-slice the
+    finished sequences and top up short finished sets from the live beams
+    (reference decoding.py:384-395). Shared by the single-device path and the
+    dp-sharded serving path."""
+    fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = outs
+    live_buf = np.asarray(live_buf).reshape(n_audio, K, -1)
+    live_sum_lp = np.asarray(live_sum_lp).reshape(n_audio, K)
+    fin_tokens, fin_scores, fin_count = map(np.asarray, (fin_tokens, fin_scores, fin_count))
+    # per-shard step counts under shard_map: the global horizon is their max
+    # (rows past a shard's own count are EOT-filled)
+    n_sampled = int(np.max(n_sampled))
 
     def slice_sampled(row) -> List[int]:
         sampled = row[valid_len : valid_len + n_sampled + 1]

@@ -294,6 +294,8 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
 
     buf_len = bucket + sample_len
     # cache bounded to the decode horizon, 128-aligned for TPU tiling
+    # (16-sublane alignment was tried and REGRESSED: 80-slot caches made
+    # the decode program 2x slower — XLA re-lays-out the non-128 carries)
     cache_len = min(dims.n_text_ctx, ((buf_len + 127) // 128) * 128)
 
     rng = jax.random.PRNGKey(rng_seed)

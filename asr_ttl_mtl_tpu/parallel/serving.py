@@ -34,9 +34,10 @@ def decode_batched_dp(
     rng_seed: int = 0,
     **option_kwargs,
 ) -> List:
-    """Greedy-decode a batch of 30 s mel windows, sharded over `dp`.
+    """Decode a batch of 30 s mel windows (greedy or beam search), sharded
+    over `dp`.
 
-    Same results as DecodingTask.run (greedy, known language); the batch is
+    Same results as DecodingTask.run (known language); the batch is
     zero-padded up to a multiple of the dp size and the padded rows dropped.
     Returns a list of DecodingResult.
     """
@@ -52,8 +53,8 @@ def decode_batched_dp(
 
     if options is None:
         options = DecodingOptions(**option_kwargs)
-    if options.beam_size is not None or (options.best_of or 1) > 1:
-        raise ValueError("decode_batched_dp is greedy-only (beam/best_of unset)")
+    if (options.best_of or 1) > 1:
+        raise ValueError("decode_batched_dp supports greedy or beam (best_of unset)")
     if options.language is None:
         raise ValueError("decode_batched_dp needs a known language")
 
@@ -74,41 +75,76 @@ def decode_batched_dp(
     padded = np.full((B, bucket), task.tokenizer.eot, np.int32)
     padded[:, :valid_len] = initial
     sample_len = min(task.sample_len, task.n_ctx)
-
-    fn = _greedy_window_fn(
-        model.dims, task.filter_cfg, bucket, sample_len, task._dtype_name
-    )
-
-    def per_shard(params, mel, toks, valid, sot, nosp, temp, seed):
-        buf, sum_lp, ns, n = fn(params, mel, toks, valid, sot, nosp, temp, seed)
-        # scalar -> (1,) so the per-shard step counts stack over dp
-        return buf, sum_lp, ns, jnp.reshape(n, (1,))
-
-    sharded = jax.jit(
-        jax.shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P("dp"), P("dp"), P(), P(), P(), P(), P()),
-            out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-            check_vma=False,
-        )
-    )
-
     no_speech = task.tokenizer.no_speech if task.tokenizer.no_speech is not None else -1
-    buf, sum_lp, ns_probs, n_sampled = sharded(
-        model.params,
-        jnp.asarray(mels),
-        padded,
-        jnp.asarray(valid_len, jnp.int32),
-        jnp.asarray(task.sot_index, jnp.int32),
-        jnp.asarray(no_speech, jnp.int32),
-        jnp.asarray(options.temperature, jnp.float32),
-        jnp.asarray(rng_seed, jnp.int32),
-    )
 
-    tokens, sum_logprobs, no_speech_probs = task._assemble_greedy(
-        buf, sum_lp, ns_probs, np.asarray(n_sampled), B, 1, valid_len
-    )
+    if options.beam_size is not None:
+        from ..beam import _beam_window_fn, assemble_beam_results
+
+        K = options.beam_size
+        C = round(K * (options.patience or 1.0))
+        fn = _beam_window_fn(
+            model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
+        )
+
+        def per_shard_beam(params, mel, toks, valid, sot, nosp):
+            ft, fs, fc, lb, lsp, ns, n = fn(params, mel, toks, valid, sot, nosp)
+            # scalar -> (1,) so the per-shard step counts stack over dp
+            return ft, fs, fc, lb, lsp, ns, jnp.reshape(n, (1,))
+
+        sharded = jax.jit(
+            jax.shard_map(
+                per_shard_beam,
+                mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp"), P(), P(), P()),
+                out_specs=tuple(P("dp") for _ in range(7)),
+                check_vma=False,
+            )
+        )
+        outs = sharded(
+            model.params,
+            jnp.asarray(mels),
+            padded,
+            jnp.asarray(valid_len, jnp.int32),
+            jnp.asarray(task.sot_index, jnp.int32),
+            jnp.asarray(no_speech, jnp.int32),
+        )
+        tokens, sum_logprobs, no_speech_probs = assemble_beam_results(
+            [np.asarray(o) for o in outs], B, K, valid_len, task.tokenizer.eot
+        )
+    else:
+        fn = _greedy_window_fn(
+            model.dims, task.filter_cfg, bucket, sample_len, task._dtype_name
+        )
+
+        def per_shard(params, mel, toks, valid, sot, nosp, temp, seed):
+            buf, sum_lp, ns, n = fn(params, mel, toks, valid, sot, nosp, temp, seed)
+            # scalar -> (1,) so the per-shard step counts stack over dp
+            return buf, sum_lp, ns, jnp.reshape(n, (1,))
+
+        sharded = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp"), P(), P(), P(), P(), P()),
+                out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                check_vma=False,
+            )
+        )
+
+        buf, sum_lp, ns_probs, n_sampled = sharded(
+            model.params,
+            jnp.asarray(mels),
+            padded,
+            jnp.asarray(valid_len, jnp.int32),
+            jnp.asarray(task.sot_index, jnp.int32),
+            jnp.asarray(no_speech, jnp.int32),
+            jnp.asarray(options.temperature, jnp.float32),
+            jnp.asarray(rng_seed, jnp.int32),
+        )
+
+        tokens, sum_logprobs, no_speech_probs = task._assemble_greedy(
+            buf, sum_lp, ns_probs, np.asarray(n_sampled), B, 1, valid_len
+        )
     selected = MaximumLikelihoodRanker(options.length_penalty).rank(tokens, sum_logprobs)
     results = []
     for i in range(n_audio):  # padded rows dropped

@@ -247,3 +247,32 @@ def test_decode_batched_dp_matches_single_device(params):
         assert a.tokens == b.tokens
         assert a.text == b.text
         np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
+
+
+def test_decode_batched_dp_beam_matches_single_device(params):
+    """shard_map data-parallel BEAM serving: same DecodingResults as the
+    single-device beam path (shared cross-KV, per-audio prefill) on the
+    8-device mesh, including batch padding."""
+    from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.parallel.serving import decode_batched_dp
+
+    dims = DIMS.replace(n_vocab=51865)
+    vocab_params = W.init_params(jax.random.PRNGKey(1), dims)
+    model = WhisperModel(dims=dims, params=vocab_params, compute_dtype=jnp.float32)
+    mel = _mel(10, seed=9)
+    opts = DecodingOptions(language="en", without_timestamps=True, beam_size=3,
+                           patience=1.5, sample_len=10, fp16=False,
+                           suppress_tokens=None)
+
+    task = DecodingTask(model, opts)
+    single = task.run(jnp.asarray(mel))
+
+    sharded = decode_batched_dp(model, mel, opts, mesh=create_mesh((8, 1)))
+
+    assert len(sharded) == len(single) == 10
+    for a, b in zip(sharded, single):
+        assert a.tokens == b.tokens
+        assert a.text == b.text
+        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
