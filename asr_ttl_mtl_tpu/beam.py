@@ -70,6 +70,7 @@ def _beam_window_fn(
     beam_size: int,
     max_candidates: int,
     compute_dtype_name: str,
+    kv_quant: bool = False,
 ):
     """The un-jitted whole-window beam function (encoder + cross-KV + beam
     loop). Callers jit it directly (_build_beam_window) or wrap it in
@@ -80,7 +81,7 @@ def _beam_window_fn(
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token):
         feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype)
-        cross_kv = W.precompute_cross_kv(params, dims, feats)
+        cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
         return _beam_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,
             no_speech_token, dims=dims, cfg=cfg, bucket=bucket,
@@ -100,13 +101,14 @@ def _build_beam_window(
     beam_size: int,
     max_candidates: int,
     compute_dtype_name: str,
+    kv_quant: bool = False,
 ):
     """Like _build_beam_loop but takes the MEL: encoder + cross-KV + beam
     search as ONE XLA program — one dispatch per window instead of two."""
     return jax.jit(
         _beam_window_fn(
             dims, cfg, bucket, sample_len, beam_size, max_candidates,
-            compute_dtype_name,
+            compute_dtype_name, kv_quant,
         )
     )
 
@@ -316,7 +318,8 @@ def run_beam_search(
     scalars = (np.int32(valid_len), np.int32(task.sot_index), np.int32(no_speech))
     if fused_mel is not None:
         loop = _build_beam_window(
-            task.model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
+            task.model.dims, task.filter_cfg, bucket, sample_len, K, C,
+            task._dtype_name, task.kv_quant,
         )
         outs = loop(task.model.params, fused_mel, padded, *scalars)
     else:

@@ -53,6 +53,7 @@ def cli():
 
     parser.add_argument("--condition_on_previous_text", type=str2bool, default=True, help="provide the previous output as a prompt for the next window")
     parser.add_argument("--fp16", type=str2bool, default=True, help="use the fast half-precision compute dtype (bf16 on TPU)")
+    parser.add_argument("--kv_int8", type=str2bool, default=False, help="store per-window cross-attention K/V int8 (per-row scales): ~1.5x faster batched decoding, approximately identical output")
 
     parser.add_argument("--temperature_increment_on_fallback", type=optional_float, default=0.2, help="temperature increment on decode-quality fallback")
     parser.add_argument("--compression_ratio_threshold", type=optional_float, default=2.4, help="gzip compression ratio above which a decode is treated as failed")
@@ -85,6 +86,7 @@ def cli():
             )
         args["language"] = "en"
 
+    args["kv_quant"] = args.pop("kv_int8")
     temperature = args.pop("temperature")
     if (increment := args.pop("temperature_increment_on_fallback")) is not None:
         temperature = tuple(np.arange(temperature, 1.0 + 1e-6, increment))

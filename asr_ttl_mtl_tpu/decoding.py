@@ -83,6 +83,13 @@ class DecodingOptions:
     # (bf16 on TPU) vs full fp32
     fp16: bool = True
 
+    # OPT-IN serving mode (no reference equivalent): store the per-window
+    # cross-attention K/V int8 with per-row scales and run the decode-step
+    # attention matmuls int8 on the MXU — halves the decode loop's dominant
+    # HBM traffic (see ops/decode_attention.py). Off by default: bit-parity
+    # with the bf16 path is only approximate (per-row abs-max quantization)
+    kv_quant: bool = False
+
     # the reference's DecodingResult always carries the encoder output
     # (decoding.py:117-127) but nothing in its pipeline consumes it; the
     # device->host copy of (B, 1500, D) features costs more than the whole
@@ -256,7 +263,7 @@ def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, co
     return jax.jit(run)
 
 
-def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
+def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str, kv_quant: bool = False):
     """The un-jitted whole-window function: encoder + cross-KV + prefill +
     decode loop. Callers jit it directly (_build_greedy_window) or wrap it
     in shard_map for data-parallel serving (parallel/serving.py)."""
@@ -266,7 +273,7 @@ def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, com
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng_seed):
         feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype)
-        cross_kv = W.precompute_cross_kv(params, dims, feats)
+        cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
         return _greedy_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,
             no_speech_token, temperature, rng_seed,
@@ -278,12 +285,12 @@ def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, com
 
 
 @lru_cache(maxsize=64)
-def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str):
+def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str, kv_quant: bool = False):
     """Like _build_greedy_loop but takes the MEL and runs the whole window
     as ONE XLA program — one dispatch per 30 s window instead of two (each
     dispatch costs real milliseconds of handle marshalling on a
     remote-attached chip)."""
-    return jax.jit(_greedy_window_fn(dims, cfg, bucket, sample_len, compute_dtype_name))
+    return jax.jit(_greedy_window_fn(dims, cfg, bucket, sample_len, compute_dtype_name, kv_quant))
 
 
 def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
@@ -407,27 +414,27 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
 
 
 @lru_cache(maxsize=32)
-def _build_encoder(dims, compute_dtype_name: str):
+def _build_encoder(dims, compute_dtype_name: str, kv_quant: bool = False):
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     def run(params, mel):
         feats = W.encoder_apply(params, dims, mel, compute_dtype)
-        cross_kv = W.precompute_cross_kv(params, dims, feats)
+        cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
         return feats, cross_kv
 
     return jax.jit(run)
 
 
 @lru_cache(maxsize=32)
-def _build_cross_kv(dims, compute_dtype_name: str):
+def _build_cross_kv(dims, compute_dtype_name: str, kv_quant: bool = False):
     """Cross-KV projection for callers that already hold encoder features
     (cached: a fresh jit(lambda) per call would recompile every time)."""
     from .models import whisper as W
 
     def run(params, feats):
-        return W.precompute_cross_kv(params, dims, feats)
+        return W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
 
     return jax.jit(run)
 
@@ -583,6 +590,7 @@ class DecodingTask:
             model.compute_dtype if options.fp16 else jnp.float32
         )
         self._dtype_name = jnp.dtype(self.compute_dtype).name
+        self.kv_quant = bool(options.kv_quant)
 
     # --- option/initial-token plumbing (reference decoding.py:572-642) -----
 
@@ -680,11 +688,13 @@ class DecodingTask:
     def _encode_audio(self, mel: jnp.ndarray):
         if mel.shape[-2:] == (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state):
             feats = mel.astype(self.compute_dtype)
-            cross_kv = _build_cross_kv(self.model.dims, self._dtype_name)(
+            cross_kv = _build_cross_kv(self.model.dims, self._dtype_name, self.kv_quant)(
                 self.model.params, feats
             )
             return feats, cross_kv
-        return _build_encoder(self.model.dims, self._dtype_name)(self.model.params, mel)
+        return _build_encoder(self.model.dims, self._dtype_name, self.kv_quant)(
+            self.model.params, mel
+        )
 
     def run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
         tokenizer = self.tokenizer
@@ -787,7 +797,8 @@ class DecodingTask:
         )
         if fused_mel is not None:
             loop = _build_greedy_window(
-                self.model.dims, self.filter_cfg, bucket, sample_len, self._dtype_name
+                self.model.dims, self.filter_cfg, bucket, sample_len,
+                self._dtype_name, self.kv_quant,
             )
             buf, sum_lp, ns_probs, n_sampled = loop(
                 self.model.params, fused_mel, padded, *scalars

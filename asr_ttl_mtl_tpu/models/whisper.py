@@ -258,16 +258,40 @@ def init_kv_cache(
 
 
 def precompute_cross_kv(
-    params: Params, dims: ModelDimensions, audio_features: jnp.ndarray
+    params: Params,
+    dims: ModelDimensions,
+    audio_features: jnp.ndarray,
+    quantize: bool = False,
 ) -> Params:
     """Cross-attention K/V projected once per audio window (the reference
-    computes these lazily inside its hook cache, decoding.py:101-109)."""
+    computes these lazily inside its hook cache, decoding.py:101-109).
+
+    With quantize=True the K/V are stored int8 with per-(layer, batch,
+    position) fp32 row scales — the opt-in serving mode that halves the
+    decode step's dominant HBM traffic (ops/decode_attention.py)."""
     blocks = params["decoder"]["blocks"]
     ks, vs = [], []
     for block in blocks:
         ks.append(linear(block["cross_attn"]["key"], audio_features))
         vs.append(linear(block["cross_attn"]["value"], audio_features))
-    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}  # (L, B, Ta, D)
+    k, v = jnp.stack(ks), jnp.stack(vs)  # (L, B, Ta, D)
+    if quantize:
+        from ..ops.decode_attention import quantize_kv_rows
+
+        ki, ksc = quantize_kv_rows(k)
+        vi, vsc = quantize_kv_rows(v)
+        return {"k": ki, "k_scale": ksc, "v": vi, "v_scale": vsc}
+    return {"k": k, "v": v}
+
+
+def _dequant_cross_layer(cross_kv: Params, li: int, dtype) -> tuple:
+    """Per-layer K/V in float for the einsum/prefill paths — same rounded
+    values the int8 kernel consumes, so prefill and steps agree."""
+    if "k_scale" in cross_kv:
+        k = (cross_kv["k"][li].astype(_F32) * cross_kv["k_scale"][li][..., None]).astype(dtype)
+        v = (cross_kv["v"][li].astype(_F32) * cross_kv["v_scale"][li][..., None]).astype(dtype)
+        return k, v
+    return cross_kv["k"][li], cross_kv["v"][li]
 
 
 def decoder_apply(
@@ -344,8 +368,11 @@ def decoder_apply(
     # rationale)
     use_dk, dk_interpret = _decode_kernel_state()
     fast_step = use_dk and T == 1 and kv_cache is not None and not return_cross_qk
+    kv_quantized = cross_kv is not None and "k_scale" in cross_kv
     if fast_step:
         from ..ops.decode_attention import decode_attention
+        if kv_quantized:
+            from ..ops.decode_attention import decode_attention_i8
 
     d_head_scale = float((dims.n_text_state // dims.n_text_head) ** -0.5)
 
@@ -375,7 +402,13 @@ def decoder_apply(
         res = x
         h = layer_norm(block["cross_attn_ln"], x)
         qc = linear(block["cross_attn"]["query"], h)
-        if fast_step:
+        if fast_step and kv_quantized:
+            att, qk = decode_attention_i8(
+                qc, cross_kv["k"], cross_kv["k_scale"],
+                cross_kv["v"], cross_kv["v_scale"], li, dims.n_text_head,
+                scale=d_head_scale, group=kv_group, interpret=dk_interpret,
+            ), None
+        elif fast_step:
             att, qk = decode_attention(
                 qc, cross_kv["k"], cross_kv["v"], li, dims.n_text_head,
                 scale=d_head_scale, group=kv_group, interpret=dk_interpret,
@@ -383,15 +416,14 @@ def decoder_apply(
         elif kv_group > 1:
             # fold the beam axis into query positions (cross-attention has
             # no mask, so query rows are independent)
+            ck, cv = _dequant_cross_layer(cross_kv, li, compute_dtype)
             qg = qc.reshape(B // kv_group, kv_group * T, D)
-            att, qk = qkv_attention(
-                qg, cross_kv["k"][li], cross_kv["v"][li], dims.n_text_head
-            )
+            att, qk = qkv_attention(qg, ck, cv, dims.n_text_head)
             att = att.reshape(B, T, D)
         else:
+            ck, cv = _dequant_cross_layer(cross_kv, li, compute_dtype)
             att, qk = qkv_attention(
-                qc, cross_kv["k"][li], cross_kv["v"][li], dims.n_text_head,
-                return_qk=return_cross_qk,
+                qc, ck, cv, dims.n_text_head, return_qk=return_cross_qk,
             )
         if return_cross_qk:
             cross_qks.append(qk)

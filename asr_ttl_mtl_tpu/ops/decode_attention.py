@@ -140,3 +140,132 @@ def decode_attention(
         interpret=interpret,
     )(valid, qg, cache_k, cache_v)
     return out.reshape(b * group, 1, d)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV decode attention (opt-in serving mode)
+# ---------------------------------------------------------------------------
+#
+# The decode step is HBM-bound on KV reads (a base/B=32 window moves ~589 MB
+# of bf16 cross-KV per step). Storing the KV int8 with one fp32 scale per
+# (layer, batch, position) row halves that traffic, and the matmuls run
+# int8xint8->int32 on the MXU (queries and probabilities are quantized
+# per-row in VMEM; softmax statistics stay fp32). SageAttention-style
+# numerics: the per-row abs-max scales keep quantization error ~1e-2
+# relative, well under the bf16 logit noise floor for argmax decoding.
+
+
+def quantize_kv_rows(x: jnp.ndarray):
+    """(..., T, D) float -> ((..., T, D) int8, (..., T) fp32 scale) with
+    per-row abs-max scaling (plain XLA; runs once per window)."""
+    xf = x.astype(jnp.float32)
+    m = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(m, 1e-20) / 127.0
+    xi = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return xi, scale
+
+
+def _decode_attn_i8_kernel(
+    valid_ref,  # (1, 1) int32 in SMEM
+    q_ref,      # (b_blk, G, D) float
+    k_ref,      # (1, b_blk, Tk, D) int8
+    ks_ref,     # (1, b_blk, Tk) fp32 per-row scales
+    v_ref,      # (1, b_blk, Tk, D) int8
+    vs_ref,     # (1, b_blk, Tk) fp32
+    o_ref,      # (b_blk, G, D)
+    *,
+    n_head: int,
+    scale: float,
+    tk: int,
+):
+    d = q_ref.shape[-1]
+    dh = d // n_head
+    k = k_ref[0]   # (b_blk, Tk, D) int8
+    v = v_ref[0]
+    ks = ks_ref[0]  # (b_blk, Tk)
+    vs = vs_ref[0]
+
+    valid_upto = valid_ref[0, 0]
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tk), 2)
+    masked = (valid_upto >= 0) & (key_pos > valid_upto)
+
+    for h in range(n_head):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q_ref[:, :, sl].astype(jnp.float32)  # (b_blk, G, dh)
+        qmax = jnp.max(jnp.abs(qh), axis=-1, keepdims=True)
+        sq = jnp.maximum(qmax, 1e-20) / 127.0
+        qi = jnp.round(qh / sq).astype(jnp.int8)
+
+        s32 = jax.lax.dot_general(
+            qi, k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (b_blk, G, Tk)
+        s = s32.astype(jnp.float32) * (sq * scale) * ks[:, None, :]
+        s = jnp.where(masked, _NEG_INF, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # fold the V row scales into the normalized probabilities, then
+        # quantize them per (row, head) so AV also runs int8 on the MXU
+        pv = (p / l) * vs[:, None, :]
+        pmax = jnp.max(pv, axis=-1, keepdims=True)
+        sp = jnp.maximum(pmax, 1e-30) / 127.0
+        pi = jnp.round(pv / sp).astype(jnp.int8)
+        o32 = jax.lax.dot_general(
+            pi, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (b_blk, G, dh)
+        o_ref[:, :, sl] = (o32.astype(jnp.float32) * sp).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layer", "n_head", "scale", "group", "interpret")
+)
+def decode_attention_i8(
+    q: jnp.ndarray,        # (B*group, 1, D) float
+    cache_k: jnp.ndarray,  # (L, B, Tk, D) int8
+    k_scale: jnp.ndarray,  # (L, B, Tk) fp32
+    cache_v: jnp.ndarray,  # (L, B, Tk, D) int8
+    v_scale: jnp.ndarray,  # (L, B, Tk) fp32
+    layer: int,
+    n_head: int,
+    *,
+    scale: float,
+    valid_upto=None,
+    group: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8-KV variant of decode_attention: same layer-indexed streaming, half
+    the HBM traffic. Returns (B*group, 1, D) in q.dtype."""
+    _, b, tk, d = cache_k.shape
+    assert q.shape[0] == b * group and q.shape[1] == 1
+    valid = jnp.full((1, 1), -1 if valid_upto is None else valid_upto, jnp.int32)
+    b_blk = _batch_block(b, tk, d, 1)
+    qg = q.reshape(b, group, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b // b_blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_blk, group, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, b_blk, tk, d), lambda i: (layer, i, 0, 0)),
+            pl.BlockSpec((1, b_blk, tk), lambda i: (layer, i, 0)),
+            pl.BlockSpec((1, b_blk, tk, d), lambda i: (layer, i, 0, 0)),
+            pl.BlockSpec((1, b_blk, tk), lambda i: (layer, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((b_blk, group, d), lambda i: (i, 0, 0)),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_i8_kernel, n_head=n_head, scale=scale, tk=tk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, group, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * group * tk * d,
+            bytes_accessed=2 * b * tk * d,
+            transcendentals=b * group * tk,
+        ),
+        interpret=interpret,
+    )(valid, qg, cache_k, k_scale, cache_v, v_scale)
+    return out.reshape(b * group, 1, d)

@@ -57,16 +57,13 @@ def _flash_kernel_body(
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    tk_pad = nk * block_k
 
     @pl.when(ki == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
-
-    # absolute positions of this block's queries/keys
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
     # a causal block is entirely masked iff its first key position exceeds
     # the last query's absolute position — skip the whole block then
@@ -75,8 +72,16 @@ def _flash_kernel_body(
     else:
         run_block = ki >= 0  # always true; keeps a single code path
 
-    @pl.when(run_block)
-    def _compute():
+    def _tile(full_mask: bool):
+        """One online-softmax update. full_mask=False is the fast path: the
+        only masking is a (1, block_k) additive bias row for the padded key
+        tail (one broadcast-add per element) — the full (block_q, block_k)
+        iota/compare/select chain costs ~6 VPU ops per score element and the
+        encoder flash kernel is VPU-bound, not MXU-bound (HLO profile:
+        68 vs 188 TF/s for clean matmuls). Masked lanes exp to 0 on their own
+        because every query row meets valid keys in the first k block (the
+        kv tail is a suffix), so its running max stays far above _NEG_INF.
+        """
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(
@@ -87,20 +92,35 @@ def _flash_kernel_body(
             # instead of pre-scaling q/k in HBM
             s = s * scale
 
-        mask = k_pos < kv_len  # padded-tail keys
-        if causal:
-            mask &= k_pos <= (q_offset + q_pos)
-        s = jnp.where(mask, s, _NEG_INF)
+        if full_mask:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = k_pos < kv_len
+            if causal:
+                mask &= k_pos <= (q_offset + q_pos)
+            s = jnp.where(mask, s, _NEG_INF)
+        elif kv_len < tk_pad:
+            # kv-tail bias row: (1, block_k), broadcast over query rows
+            k_col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = s + jnp.where(k_col < kv_len, 0.0, _NEG_INF)
 
         m_prev = m_scratch[...][:, :1]  # (block_q, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
 
         p = jnp.exp(s - m_new)  # (block_q, block_k)
-        # rows that have seen no valid key yet: m_new == -inf, exp(-inf - -inf)
-        # would be NaN; with _NEG_INF finite sentinels p is exp(0)=1 on masked
-        # lanes — zero them explicitly
-        p = jnp.where(mask, p, 0.0)
+        if full_mask:
+            # rows that have seen no valid key yet: m_new == -inf,
+            # exp(-inf - -inf) would be NaN; with _NEG_INF finite sentinels p
+            # is exp(0)=1 on masked lanes — zero them explicitly (a causal
+            # diagonal block can have fully-masked rows)
+            p = jnp.where(mask, p, 0.0)
 
         correction = jnp.exp(m_prev - m_new)  # (block_q, 1)
         l_new = correction * l_scratch[...][:, :1] + jnp.sum(p, axis=1, keepdims=True)
@@ -111,6 +131,25 @@ def _flash_kernel_body(
         )
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    if causal:
+        # blocks crossing the diagonal need the per-row mask; blocks entirely
+        # below it only need the kv-tail bias (fast path)
+        crosses_diag = (ki * block_k + block_k - 1) > (q_offset + qi * block_q)
+
+        @pl.when(run_block & crosses_diag)
+        def _compute_masked():
+            _tile(full_mask=True)
+
+        @pl.when(run_block & ~crosses_diag)
+        def _compute_fast():
+            _tile(full_mask=False)
+
+    else:
+
+        @pl.when(run_block)
+        def _compute():
+            _tile(full_mask=False)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -297,6 +336,26 @@ def _bwd_tile(q, k, lse, q_pos, k_pos, *, causal, q_len, kv_len, q_offset, scale
     return jnp.where(mask, p, 0.0)
 
 
+def _bwd_tile_fast(q, k, lse, qi, ki, *, q_len, kv_len, tq_pad, tk_pad,
+                   block_q, block_k, scale):
+    """Probability tile without the per-element mask chain: padded q rows and
+    kv-tail keys are handled by cheap broadcast bias rows/cols (padded q rows
+    carry lse=0 from jnp.pad, so the -1e30 row bias drives exp to 0; same for
+    tail keys against any finite lse)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * scale
+    if kv_len < tk_pad:
+        k_col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        s = s + jnp.where(k_col < kv_len, 0.0, _NEG_INF)
+    if q_len < tq_pad:
+        q_row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        s = s + jnp.where(q_row < q_len, 0.0, _NEG_INF)
+    return jnp.exp(s - lse)
+
+
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
     *, causal, q_len, kv_len, block_q, block_k, q_offset, scale,
@@ -304,21 +363,16 @@ def _flash_bwd_dq_kernel(
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    tq_pad = pl.num_programs(1) * block_q
+    tk_pad = nk * block_k
 
     @pl.when(ki == 0)
     def _init():
         acc[...] = jnp.zeros_like(acc)
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     run_block = (ki * block_k) <= (q_offset + qi * block_q + block_q - 1) if causal else ki >= 0
 
-    @pl.when(run_block)
-    def _compute():
-        p = _bwd_tile(
-            q_ref[0], k_ref[0], lse_ref[0], q_pos, k_pos,
-            causal=causal, q_len=q_len, kv_len=kv_len, q_offset=q_offset, scale=scale,
-        )
+    def _accumulate(p):
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -328,6 +382,28 @@ def _flash_bwd_dq_kernel(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    def _full():
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        _accumulate(_bwd_tile(
+            q_ref[0], k_ref[0], lse_ref[0], q_pos, k_pos,
+            causal=causal, q_len=q_len, kv_len=kv_len, q_offset=q_offset, scale=scale,
+        ))
+
+    def _fast():
+        _accumulate(_bwd_tile_fast(
+            q_ref[0], k_ref[0], lse_ref[0], qi, ki,
+            q_len=q_len, kv_len=kv_len, tq_pad=tq_pad, tk_pad=tk_pad,
+            block_q=block_q, block_k=block_k, scale=scale,
+        ))
+
+    if causal:
+        crosses_diag = (ki * block_k + block_k - 1) > (q_offset + qi * block_q)
+        pl.when(run_block & crosses_diag)(_full)
+        pl.when(run_block & ~crosses_diag)(_fast)
+    else:
+        pl.when(run_block)(_fast)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -342,22 +418,17 @@ def _flash_bwd_dkv_kernel(
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
+    tq_pad = nq * block_q
+    tk_pad = pl.num_programs(1) * block_k
 
     @pl.when(qi == 0)
     def _init():
         acc_dk[...] = jnp.zeros_like(acc_dk)
         acc_dv[...] = jnp.zeros_like(acc_dv)
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     run_block = (ki * block_k) <= (q_offset + qi * block_q + block_q - 1) if causal else qi >= 0
 
-    @pl.when(run_block)
-    def _compute():
-        p = _bwd_tile(
-            q_ref[0], k_ref[0], lse_ref[0], q_pos, k_pos,
-            causal=causal, q_len=q_len, kv_len=kv_len, q_offset=q_offset, scale=scale,
-        )
+    def _accumulate(p):
         do = do_ref[0]
         acc_dv[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -371,6 +442,28 @@ def _flash_bwd_dkv_kernel(
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (block_k, d)
+
+    def _full():
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        _accumulate(_bwd_tile(
+            q_ref[0], k_ref[0], lse_ref[0], q_pos, k_pos,
+            causal=causal, q_len=q_len, kv_len=kv_len, q_offset=q_offset, scale=scale,
+        ))
+
+    def _fast():
+        _accumulate(_bwd_tile_fast(
+            q_ref[0], k_ref[0], lse_ref[0], qi, ki,
+            q_len=q_len, kv_len=kv_len, tq_pad=tq_pad, tk_pad=tk_pad,
+            block_q=block_q, block_k=block_k, scale=scale,
+        ))
+
+    if causal:
+        crosses_diag = (ki * block_k + block_k - 1) > (q_offset + qi * block_q)
+        pl.when(run_block & crosses_diag)(_full)
+        pl.when(run_block & ~crosses_diag)(_fast)
+    else:
+        pl.when(run_block)(_fast)
 
     @pl.when(qi == nq - 1)
     def _finalize():

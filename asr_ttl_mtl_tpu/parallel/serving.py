@@ -83,7 +83,8 @@ def decode_batched_dp(
         K = options.beam_size
         C = round(K * (options.patience or 1.0))
         fn = _beam_window_fn(
-            model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
+            model.dims, task.filter_cfg, bucket, sample_len, K, C,
+            task._dtype_name, task.kv_quant,
         )
 
         def per_shard_beam(params, mel, toks, valid, sot, nosp):
@@ -113,7 +114,8 @@ def decode_batched_dp(
         )
     else:
         fn = _greedy_window_fn(
-            model.dims, task.filter_cfg, bucket, sample_len, task._dtype_name
+            model.dims, task.filter_cfg, bucket, sample_len, task._dtype_name,
+            task.kv_quant,
         )
 
         def per_shard(params, mel, toks, valid, sot, nosp, temp, seed):

@@ -179,3 +179,119 @@ class TestGroupedCrossAttention:
         np.testing.assert_allclose(
             np.asarray(logits_shared), np.asarray(logits_rep), atol=1e-5
         )
+
+
+class TestInt8KV:
+    """Opt-in int8 KV serving mode (kv_quant): per-row abs-max quantization
+    plus int8 MXU matmuls must stay within ~1% of the float attention."""
+
+    def test_quantize_roundtrip_error(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, 4, 50, 64).astype(np.float32))
+        from asr_ttl_mtl_tpu.ops.decode_attention import quantize_kv_rows
+
+        xi, s = quantize_kv_rows(x)
+        assert xi.dtype == jnp.int8 and s.shape == (3, 4, 50)
+        back = xi.astype(jnp.float32) * s[..., None]
+        err = np.max(np.abs(np.asarray(back - x)))
+        assert err <= np.max(np.abs(np.asarray(x))) / 127.0 * 0.51 + 1e-6
+
+    def test_i8_kernel_close_to_float(self):
+        from asr_ttl_mtl_tpu.ops.decode_attention import (
+            decode_attention_i8,
+            quantize_kv_rows,
+        )
+
+        q, ck, cv = make(4, 3, 300, 128, seed=5)
+        ki, ks = quantize_kv_rows(ck)
+        vi, vs = quantize_kv_rows(cv)
+        got = decode_attention_i8(
+            q, ki, ks, vi, vs, 1, 4, scale=0.125, interpret=True
+        )
+        want = reference(q, ck[1], cv[1], 4, 0.125)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=0.02 * float(jnp.max(jnp.abs(want)))
+        )
+
+    def test_i8_kernel_masked_and_grouped(self):
+        from asr_ttl_mtl_tpu.ops.decode_attention import (
+            decode_attention_i8,
+            quantize_kv_rows,
+        )
+
+        rng = np.random.RandomState(6)
+        _, ck, cv = make(4, 2, 64, 128, seed=6)
+        ki, ks = quantize_kv_rows(ck)
+        vi, vs = quantize_kv_rows(cv)
+        # masked: only first 10 keys valid
+        q, _, _ = make(4, 2, 64, 128, seed=7)
+        got = decode_attention_i8(
+            q, ki, ks, vi, vs, 0, 4, scale=0.125, valid_upto=9, interpret=True
+        )
+        want = reference(q, ck[0], cv[0], 4, 0.125, valid_upto=9)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=0.02 * float(jnp.max(jnp.abs(want)))
+        )
+        # grouped (beam layout): rows a*G+g share cache row a
+        G = 3
+        qg = jnp.asarray(rng.randn(4 * G, 1, 128).astype(np.float32) * 0.3)
+        got = decode_attention_i8(
+            qg, ki, ks, vi, vs, 1, 4, scale=0.125, group=G, interpret=True
+        )
+        ck_rep = jnp.repeat(ck, G, axis=1)
+        cv_rep = jnp.repeat(cv, G, axis=1)
+        want = reference(qg, ck_rep[1], cv_rep[1], 4, 0.125)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=0.03 * float(jnp.max(jnp.abs(want)))
+        )
+
+    def test_decoder_step_quantized_cross_kv_close(self):
+        """decoder_apply with quantized cross-KV (einsum dequant path on CPU):
+        step logits stay close to the exact path."""
+        dims = ModelDimensions(
+            n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_vocab=1000, n_text_ctx=64, n_text_state=64,
+            n_text_head=4, n_text_layer=2,
+        )
+        params = W.init_params(jax.random.PRNGKey(0), dims)
+        feats = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 64), jnp.float32)
+        cross = W.precompute_cross_kv(params, dims, feats)
+        cross_q = W.precompute_cross_kv(params, dims, feats, quantize=True)
+        assert cross_q["k"].dtype == jnp.int8
+        tokens = jnp.asarray([[5], [7]], jnp.int32)
+        cache = W.init_kv_cache(dims, 2, jnp.float32, ctx=64)
+        exact, _, _ = W.decoder_apply(
+            params, dims, tokens, cross_kv=cross, kv_cache=cache, pos_offset=3
+        )
+        quant, _, _ = W.decoder_apply(
+            params, dims, tokens, cross_kv=cross_q, kv_cache=cache, pos_offset=3
+        )
+        rel = float(jnp.max(jnp.abs(quant - exact)) / jnp.max(jnp.abs(exact)))
+        assert rel < 0.05, rel
+
+    def test_greedy_decode_with_kv_quant_runs(self):
+        """Full DecodingTask greedy with kv_quant through the interpret-mode
+        int8 kernel: terminates and produces near-identical avg logprobs."""
+        from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+        from asr_ttl_mtl_tpu.models.registry import WhisperModel
+
+        dims = ModelDimensions(
+            n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_vocab=51864, n_text_ctx=96, n_text_state=64,
+            n_text_head=4, n_text_layer=2,
+        )
+        params = W.init_params(jax.random.PRNGKey(2), dims)
+        model = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+        rng = np.random.RandomState(3)
+        mel = jnp.asarray(rng.randn(2, 80, 192).astype(np.float32) * 0.5)
+        opts = dict(language="en", without_timestamps=True, sample_len=8,
+                    fp16=False, suppress_tokens=None)
+        try:
+            W.set_decode_kernel("interpret")
+            base = DecodingTask(model, DecodingOptions(**opts)).run(mel)
+            quant = DecodingTask(model, DecodingOptions(kv_quant=True, **opts)).run(mel)
+        finally:
+            W.set_decode_kernel("auto")
+        for b, qr in zip(base, quant):
+            assert len(qr.tokens) > 0
+            np.testing.assert_allclose(qr.avg_logprob, b.avg_logprob, atol=0.05)
