@@ -284,13 +284,14 @@ def precompute_cross_kv(
     return {"k": k, "v": v}
 
 
-def _dequant_cross_layer(cross_kv: Params, li: int, dtype) -> tuple:
+def _dequant_cross_layer(cross_kv: Params, li: int, dtype, valid_len: int) -> tuple:
     """Per-layer K/V in float for the einsum/prefill paths — same rounded
-    values the int8 kernel consumes, so prefill and steps agree."""
+    values the int8 kernel consumes, so prefill and steps agree. The int8
+    store pads T to a multiple of 32 (quantize_kv_rows); slice it back."""
     if "k_scale" in cross_kv:
         k = (cross_kv["k"][li].astype(_F32) * cross_kv["k_scale"][li][..., None]).astype(dtype)
         v = (cross_kv["v"][li].astype(_F32) * cross_kv["v_scale"][li][..., None]).astype(dtype)
-        return k, v
+        return k[:, :valid_len], v[:, :valid_len]
     return cross_kv["k"][li], cross_kv["v"][li]
 
 
@@ -403,10 +404,12 @@ def decoder_apply(
         h = layer_norm(block["cross_attn_ln"], x)
         qc = linear(block["cross_attn"]["query"], h)
         if fast_step and kv_quantized:
+            # the int8 store pads T to a 32 multiple; mask the padded tail
             att, qk = decode_attention_i8(
                 qc, cross_kv["k"], cross_kv["k_scale"],
                 cross_kv["v"], cross_kv["v_scale"], li, dims.n_text_head,
-                scale=d_head_scale, group=kv_group, interpret=dk_interpret,
+                scale=d_head_scale, valid_upto=dims.n_audio_ctx - 1,
+                group=kv_group, interpret=dk_interpret,
             ), None
         elif fast_step:
             att, qk = decode_attention(
@@ -416,12 +419,12 @@ def decoder_apply(
         elif kv_group > 1:
             # fold the beam axis into query positions (cross-attention has
             # no mask, so query rows are independent)
-            ck, cv = _dequant_cross_layer(cross_kv, li, compute_dtype)
+            ck, cv = _dequant_cross_layer(cross_kv, li, compute_dtype, dims.n_audio_ctx)
             qg = qc.reshape(B // kv_group, kv_group * T, D)
             att, qk = qkv_attention(qg, ck, cv, dims.n_text_head)
             att = att.reshape(B, T, D)
         else:
-            ck, cv = _dequant_cross_layer(cross_kv, li, compute_dtype)
+            ck, cv = _dequant_cross_layer(cross_kv, li, compute_dtype, dims.n_audio_ctx)
             att, qk = qkv_attention(
                 qc, ck, cv, dims.n_text_head, return_qk=return_cross_qk,
             )

@@ -28,7 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 BATCH = {"small": 32, "medium": 16, "large-v3": 8, "large-v3-turbo": 16}
 
 
-def bench_size(name: str) -> None:
+def bench_size(name: str, kv_quant: bool = False) -> None:
     from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
     from asr_ttl_mtl_tpu.models import from_random
 
@@ -36,7 +36,7 @@ def bench_size(name: str) -> None:
     batch = BATCH.get(name, 8)
     opts = DecodingOptions(
         language="en", without_timestamps=True, sample_len=64,
-        suppress_tokens="-1,50257", fp16=True,
+        suppress_tokens="-1,50257", fp16=True, kv_quant=kv_quant,
     )
     task = DecodingTask(model, opts)
     rng = np.random.RandomState(0)
@@ -52,8 +52,9 @@ def bench_size(name: str) -> None:
     for i in range(n):
         task.run(mels, rng_seed=i)
     dt = (time.perf_counter() - t0) / n
+    tag = " int8-KV" if kv_quant else ""
     print(
-        f"[{name}] B={batch}: {dt * 1e3:.0f} ms/call -> "
+        f"[{name}{tag}] B={batch}: {dt * 1e3:.0f} ms/call -> "
         f"{batch * 30.0 / dt:.0f} audio-sec/sec/chip",
         flush=True,
     )
@@ -76,9 +77,13 @@ def bench_size(name: str) -> None:
 
 
 def main():
-    sizes = sys.argv[1:] or ["small", "medium", "large-v3", "large-v3-turbo"]
+    args = sys.argv[1:]
+    kv_quant = "--kv_int8" in args
+    sizes = [a for a in args if not a.startswith("--")] or [
+        "small", "medium", "large-v3", "large-v3-turbo"
+    ]
     for name in sizes:
-        bench_size(name)
+        bench_size(name, kv_quant=kv_quant)
 
 
 if __name__ == "__main__":

@@ -191,8 +191,9 @@ class TestInt8KV:
         from asr_ttl_mtl_tpu.ops.decode_attention import quantize_kv_rows
 
         xi, s = quantize_kv_rows(x)
-        assert xi.dtype == jnp.int8 and s.shape == (3, 4, 50)
-        back = xi.astype(jnp.float32) * s[..., None]
+        # T padded up to a multiple of 128 for the int8 tile/key blocks
+        assert xi.dtype == jnp.int8 and s.shape == (3, 4, 128)
+        back = (xi.astype(jnp.float32) * s[..., None])[..., :50, :]
         err = np.max(np.abs(np.asarray(back - x)))
         assert err <= np.max(np.abs(np.asarray(x))) / 127.0 * 0.51 + 1e-6
 
@@ -203,10 +204,10 @@ class TestInt8KV:
         )
 
         q, ck, cv = make(4, 3, 300, 128, seed=5)
-        ki, ks = quantize_kv_rows(ck)
+        ki, ks = quantize_kv_rows(ck)  # T 300 -> 384: mask the padded tail
         vi, vs = quantize_kv_rows(cv)
         got = decode_attention_i8(
-            q, ki, ks, vi, vs, 1, 4, scale=0.125, interpret=True
+            q, ki, ks, vi, vs, 1, 4, scale=0.125, valid_upto=299, interpret=True
         )
         want = reference(q, ck[1], cv[1], 4, 0.125)
         np.testing.assert_allclose(
@@ -236,7 +237,8 @@ class TestInt8KV:
         G = 3
         qg = jnp.asarray(rng.randn(4 * G, 1, 128).astype(np.float32) * 0.3)
         got = decode_attention_i8(
-            qg, ki, ks, vi, vs, 1, 4, scale=0.125, group=G, interpret=True
+            qg, ki, ks, vi, vs, 1, 4, scale=0.125, valid_upto=63, group=G,
+            interpret=True,
         )
         ck_rep = jnp.repeat(ck, G, axis=1)
         cv_rep = jnp.repeat(cv, G, axis=1)
