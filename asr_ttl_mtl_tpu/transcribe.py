@@ -409,6 +409,7 @@ def transcribe_batch(
     model: "WhisperModel",
     audios: List[Union[str, np.ndarray]],
     batch_size: int = 16,
+    mesh=None,
     **decode_options,
 ) -> List[dict]:
     """Throughput-oriented batched transcription (TPU-native addition).
@@ -418,6 +419,10 @@ def transcribe_batch(
     independently, like the reference with condition_on_previous_text=False).
     This is the mode the BASELINE.json north star measures
     (audio-sec/sec/chip).
+
+    With `mesh` (a jax.sharding.Mesh with a 'dp' axis), window batches are
+    decoded data-parallel across the mesh via parallel.serving — the
+    multi-chip serving path; results are identical to single-device.
     """
     from .decoding import DecodingTask
 
@@ -447,12 +452,17 @@ def transcribe_batch(
     options = DecodingOptions(language=language, **decode_options)
     task = DecodingTask(model, options)
 
+    if mesh is not None:
+        from .parallel.serving import decode_batched_dp
+
     results = [None] * len(windows)
     for i in range(0, len(windows), batch_size):
         chunk = windows[i : i + batch_size]
         pad_to = len(chunk)
-        batch = jnp.asarray(np.stack(chunk))
-        out = task.run(batch)
+        if mesh is not None:
+            out = decode_batched_dp(model, np.stack(chunk), options, mesh=mesh)
+        else:
+            out = task.run(jnp.asarray(np.stack(chunk)))
         for j, r in enumerate(out[:pad_to]):
             results[i + j] = r
 

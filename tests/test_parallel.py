@@ -276,3 +276,31 @@ def test_decode_batched_dp_beam_matches_single_device(params):
         assert a.tokens == b.tokens
         assert a.text == b.text
         np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
+
+
+def test_transcribe_batch_over_mesh(params):
+    """transcribe_batch(mesh=...): long-form batched transcription through
+    the dp serving path gives identical outputs to single-device."""
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import PRESET_DIMS
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    # full 1500-frame window so the real audio frontend feeds the model
+    dims = PRESET_DIMS["tiny.en"].replace(n_audio_layer=1, n_text_layer=1)
+    vocab_params = W.init_params(jax.random.PRNGKey(1), dims)
+    model = WhisperModel(dims=dims, params=vocab_params, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(13)
+    audios = [
+        (rng.randn(2 * 16000) * 0.1).astype(np.float32) for _ in range(3)
+    ]
+    common = dict(language="en", without_timestamps=True, sample_len=8,
+                  fp16=False, batch_size=4)
+    single = transcribe_batch(model, audios, **common)
+    sharded = transcribe_batch(model, audios, mesh=create_mesh((8, 1)), **common)
+    assert len(sharded) == len(single) == 3
+    for a, b in zip(sharded, single):
+        assert a["text"] == b["text"]
+        assert [s["tokens"] for s in a["segments"]] == [
+            s["tokens"] for s in b["segments"]
+        ]
