@@ -299,21 +299,37 @@ def log_mel_spectrogram_jax(audio: jnp.ndarray, n_mels: int = 80, padding: int =
     return (log_spec + 4.0) / 4.0
 
 
+_PALLAS_MEL_BROKEN = [False]  # set after a compile/launch failure
+
+
 def _mel_dispatch(
     audio: jnp.ndarray, n_mels: int, padding: int, use_pallas: Optional[bool]
 ) -> jnp.ndarray:
     """Pick the fused Pallas frontend kernel (ops/pallas_mel.py) when it
     applies — single-device TPU, whole-bucket frame counts — else the
     pure-XLA matmul formulation. Both are numerically parity-tested against
-    each other and the reference."""
+    each other and the reference. A kernel compile/launch failure falls back
+    to the XLA path for the rest of the process (never crash on a kernel
+    problem — the reference's Triton fallback pattern, timing.py:41-46)."""
     n_frames = (audio.shape[-1] + padding) // HOP_LENGTH
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu" and not _PALLAS_MEL_BROKEN[0]
     if use_pallas:
         from .ops import pallas_mel
 
         if pallas_mel.supports(n_frames):
-            return pallas_mel.log_mel_spectrogram_pallas(audio, n_mels=n_mels, padding=padding)
+            try:
+                return pallas_mel.log_mel_spectrogram_pallas(
+                    audio, n_mels=n_mels, padding=padding
+                )
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"Pallas mel kernel failed ({type(e).__name__}: {e}); "
+                    "using the XLA frontend from now on"
+                )
+                _PALLAS_MEL_BROKEN[0] = True
     return log_mel_spectrogram_jax(audio, n_mels=n_mels, padding=padding)
 
 

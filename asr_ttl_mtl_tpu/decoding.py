@@ -413,6 +413,24 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
 # ---------------------------------------------------------------------------
 
 
+def _clear_program_caches() -> None:
+    """Drop every cached jitted program so the next build re-traces with the
+    current kernel flags (the builders read models.whisper._FLASH at trace
+    time)."""
+    for b in (
+        _build_greedy_loop,
+        _build_greedy_window,
+        _build_encoder,
+        _build_cross_kv,
+        _build_single_token_logits,
+    ):
+        b.cache_clear()
+    from . import beam as _beam
+
+    _beam._build_beam_loop.cache_clear()
+    _beam._build_beam_window.cache_clear()
+
+
 @lru_cache(maxsize=32)
 def _build_encoder(dims, compute_dtype_name: str, kv_quant: bool = False):
     from .models import whisper as W
@@ -697,6 +715,30 @@ class DecodingTask:
         )
 
     def run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
+        """Decode one batch of 30 s windows; on a Pallas kernel
+        compile/launch failure, disable the custom kernels and retry once on
+        the plain XLA paths (the reference does the same for Triton launch
+        failures, timing.py:41-46 — never crash on a kernel problem)."""
+        try:
+            return self._run(mel, rng_seed)
+        except Exception as e:
+            from .models import whisper as W
+
+            use_dk, _ = W._decode_kernel_state()
+            if not (use_dk or W._FLASH["enabled"]):
+                raise  # kernels already off: a real error
+            import warnings
+
+            warnings.warn(
+                f"custom TPU kernel path failed ({type(e).__name__}: {e}); "
+                "retrying with plain XLA attention"
+            )
+            W.set_decode_kernel("off")
+            W.set_flash_attention(False)
+            _clear_program_caches()
+            return self._run(mel, rng_seed)
+
+    def _run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
         tokenizer = self.tokenizer
         mel = jnp.asarray(mel)
         n_audio = mel.shape[0]

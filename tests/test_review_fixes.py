@@ -148,3 +148,52 @@ class TestLoaderAbandonment:
         while threading.active_count() > before and time.time() < deadline:
             time.sleep(0.05)
         assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_decode_kernel_failure_falls_back_to_xla(monkeypatch):
+    """A Pallas decode-kernel failure must not crash DecodingTask.run: the
+    kernels are disabled and the window retried on plain XLA attention
+    (the reference's Triton-launch fallback pattern, timing.py:41-46)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr_ttl_mtl_tpu import decoding as D
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.ops import decode_attention as DA
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=1, n_vocab=51864, n_text_ctx=96, n_text_state=64,
+        n_text_head=4, n_text_layer=1,
+    )
+    params = W.init_params(jax.random.PRNGKey(0), dims)
+    model = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 80, 192).astype(np.float32) * 0.5)
+    opts = D.DecodingOptions(language="en", without_timestamps=True,
+                             sample_len=6, fp16=False, suppress_tokens=None)
+
+    expected = D.DecodingTask(model, opts).run(mel)
+
+    def boom(*a, **k):
+        raise RuntimeError("Mosaic failed to compile TPU kernel (simulated)")
+
+    state_before = dict(W._FLASH)
+    monkeypatch.setattr(DA, "decode_attention", boom)
+    try:
+        # force the (broken) kernel path on, as on a TPU backend
+        W.set_decode_kernel("interpret")
+        D._clear_program_caches()
+        got = D.DecodingTask(model, opts).run(mel)
+        # the failure handler must have turned the kernels off
+        assert W._FLASH["decode_kernel"] == "off"
+    finally:
+        W._FLASH.update(state_before)
+        D._clear_program_caches()
+
+    for g, e in zip(got, expected):
+        assert g.tokens == e.tokens
+        assert g.text == e.text
