@@ -130,7 +130,10 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
     # self-attention cache K-fold — (K-1)/K of the prefill FLOPs saved
     B = initial_tokens.shape[0]
     BK = B * K
-    cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
+    if "k_scale" in cross_kv:  # kv_quant: int8 self cache too
+        cache = W.init_kv_cache_i8(dims, B, ctx=cache_len)
+    else:
+        cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
 
     prefill_logits, cache, _ = W.decoder_apply(
         params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
@@ -225,7 +228,7 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         src = (new_parent + jnp.arange(B)[:, None] * K).reshape(BK)  # global rows
         buf = s["buf"][src]
         buf = jax.lax.dynamic_update_slice(buf, new_tok.reshape(BK, 1), (0, pos))
-        cache = {"k": s["cache"]["k"][:, src], "v": s["cache"]["v"][:, src]}
+        cache = jax.tree.map(lambda c: c[:, src], s["cache"])
         new_sum_lp = new_scores.reshape(BK)
 
         prev = new_tok.reshape(BK)

@@ -307,7 +307,10 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
 
     rng = jax.random.PRNGKey(rng_seed)
     B = initial_tokens.shape[0]
-    cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
+    if "k_scale" in cross_kv:  # kv_quant: int8 self cache too
+        cache = W.init_kv_cache_i8(dims, B, ctx=cache_len)
+    else:
+        cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
 
     prefill_logits, cache, _ = W.decoder_apply(
         params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,

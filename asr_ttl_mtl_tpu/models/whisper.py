@@ -257,6 +257,36 @@ def init_kv_cache(
     return {"k": jnp.zeros(shape, compute_dtype), "v": jnp.zeros(shape, compute_dtype)}
 
 
+def init_kv_cache_i8(
+    dims: ModelDimensions,
+    batch: int,
+    ctx: Optional[int] = None,
+) -> Params:
+    """int8 self-attention cache with per-(layer, batch, position) fp32 row
+    scales — the kv_quant serving mode\'s counterpart to init_kv_cache
+    (half the per-step cache traffic; beam gathers also move half the
+    bytes). Unwritten slots are masked by position, their scale is inert."""
+    ctx = ctx or dims.n_text_ctx
+    shape = (dims.n_text_layer, batch, ctx, dims.n_text_state)
+    sshape = shape[:-1]
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.ones(sshape, jnp.float32),
+        "v": jnp.zeros(shape, jnp.int8),
+        "v_scale": jnp.ones(sshape, jnp.float32),
+    }
+
+
+def _quant_rows(x: jnp.ndarray):
+    """(B, T, D) float -> ((B, T, D) int8, (B, T) fp32) per-row abs-max
+    quantization WITHOUT the T padding of ops.decode_attention.quantize_kv_rows
+    (cache writes land inside an already-aligned buffer)."""
+    xf = x.astype(_F32)
+    m = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(m, 1e-20) / 127.0
+    return jnp.round(xf / scale[..., None]).astype(jnp.int8), scale
+
+
 def precompute_cross_kv(
     params: Params,
     dims: ModelDimensions,
@@ -363,6 +393,9 @@ def decoder_apply(
     # every decode step
     cache_k = kv_cache["k"] if kv_cache is not None else None
     cache_v = kv_cache["v"] if kv_cache is not None else None
+    self_quant = kv_cache is not None and "k_scale" in kv_cache
+    cache_ks = kv_cache["k_scale"] if self_quant else None
+    cache_vs = kv_cache["v_scale"] if self_quant else None
 
     # single-token incremental step -> fused Pallas decode attention (streams
     # the bf16 caches once; see ops/decode_attention.py for the HLO-profile
@@ -372,7 +405,7 @@ def decoder_apply(
     kv_quantized = cross_kv is not None and "k_scale" in cross_kv
     if fast_step:
         from ..ops.decode_attention import decode_attention
-        if kv_quantized:
+        if kv_quantized or (kv_cache is not None and "k_scale" in kv_cache):
             from ..ops.decode_attention import decode_attention_i8
 
     d_head_scale = float((dims.n_text_state // dims.n_text_head) ** -0.5)
@@ -383,16 +416,32 @@ def decoder_apply(
         res = x
         h = layer_norm(block["attn_ln"], x)
         q, k, v = _mha_project_qkv(block["attn"], h)
-        if kv_cache is not None:
+        if self_quant:
+            ki, ksc = _quant_rows(k)
+            vi, vsc = _quant_rows(v)
+            cache_k = jax.lax.dynamic_update_slice(cache_k, ki[None], (li, 0, pos_offset, 0))
+            cache_ks = jax.lax.dynamic_update_slice(cache_ks, ksc[None], (li, 0, pos_offset))
+            cache_v = jax.lax.dynamic_update_slice(cache_v, vi[None], (li, 0, pos_offset, 0))
+            cache_vs = jax.lax.dynamic_update_slice(cache_vs, vsc[None], (li, 0, pos_offset))
+        elif kv_cache is not None:
             cache_k = jax.lax.dynamic_update_slice(cache_k, k[None], (li, 0, pos_offset, 0))
             cache_v = jax.lax.dynamic_update_slice(cache_v, v[None], (li, 0, pos_offset, 0))
-        if fast_step:
+        if fast_step and self_quant:
+            att = decode_attention_i8(
+                q, cache_k, cache_ks, cache_v, cache_vs, li, dims.n_text_head,
+                scale=d_head_scale, valid_upto=pos_offset, interpret=dk_interpret,
+            )
+        elif fast_step:
             att = decode_attention(
                 q, cache_k, cache_v, li, dims.n_text_head,
                 scale=d_head_scale, valid_upto=pos_offset, interpret=dk_interpret,
             )
         else:
-            if kv_cache is not None:
+            if self_quant:
+                # prefill reads the same rounded values the step kernel sees
+                k = (cache_k[li].astype(_F32) * cache_ks[li][..., None]).astype(compute_dtype)
+                v = (cache_v[li].astype(_F32) * cache_vs[li][..., None]).astype(compute_dtype)
+            elif kv_cache is not None:
                 k, v = cache_k[li], cache_v[li]
             att, _ = qkv_attention(
                 q, k, v, dims.n_text_head, mask=mask, causal=True, q_offset=pos_offset
@@ -445,9 +494,14 @@ def decoder_apply(
         x, embed.T.astype(x.dtype), preferred_element_type=_F32
     )  # tied embeddings (reference model.py:245-247)
 
-    updated_cache = (
-        {"k": cache_k, "v": cache_v} if kv_cache is not None else None
-    )
+    if self_quant:
+        updated_cache = {
+            "k": cache_k, "k_scale": cache_ks, "v": cache_v, "v_scale": cache_vs,
+        }
+    elif kv_cache is not None:
+        updated_cache = {"k": cache_k, "v": cache_v}
+    else:
+        updated_cache = None
     cross_qk = jnp.stack(cross_qks) if return_cross_qk else None
     return logits, updated_cache, cross_qk
 

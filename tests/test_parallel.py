@@ -304,3 +304,25 @@ def test_transcribe_batch_over_mesh(params):
         assert [s["tokens"] for s in a["segments"]] == [
             s["tokens"] for s in b["segments"]
         ]
+
+
+def test_decode_batched_dp_with_kv_quant(params):
+    """dp serving composes with the int8 cross-KV mode: results match the
+    single-device kv_quant path exactly (same quantized numerics)."""
+    from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.parallel.serving import decode_batched_dp
+
+    dims = DIMS.replace(n_vocab=51865)
+    vocab_params = W.init_params(jax.random.PRNGKey(1), dims)
+    model = WhisperModel(dims=dims, params=vocab_params, compute_dtype=jnp.float32)
+    mel = _mel(8, seed=21)
+    opts = DecodingOptions(language="en", without_timestamps=True, sample_len=8,
+                           fp16=False, suppress_tokens=None, kv_quant=True)
+
+    single = DecodingTask(model, opts).run(jnp.asarray(mel))
+    sharded = decode_batched_dp(model, mel, opts, mesh=create_mesh((8, 1)))
+    for a, b in zip(sharded, single):
+        assert a.tokens == b.tokens
+        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
