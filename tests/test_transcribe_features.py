@@ -174,3 +174,75 @@ def test_hallucination_silence_parity(en_models, long_wave):
         np.testing.assert_allclose(so["start"], sr["start"], atol=0.05)
         np.testing.assert_allclose(so["end"], sr["end"], atol=0.05)
         assert len(so.get("words", [])) == len(sr.get("words", []))
+
+
+def test_temperature_fallback_ladder_parity(en_models, long_wave):
+    """Force the quality-fallback ladder (reference transcribe.py:184-224):
+    an impossible compression-ratio threshold fails every rung until the
+    ladder's sampling temperatures kick in — segment temperatures and
+    structure must match the reference (shared greedy t=1.0 argmax... the
+    final rung still samples; compare structure + temperature fields)."""
+    ref_model, our_model = en_models
+    wave = long_wave[: 16000 * 8]
+    kwargs = dict(
+        without_timestamps=True,
+        sample_len=8,
+        fp16=False,
+        verbose=None,
+        temperature=(0.0, 1.0),
+        compression_ratio_threshold=-1.0,  # every rung "too repetitive"
+        logprob_threshold=None,
+        no_speech_threshold=None,
+    )
+    ref = ref_model.transcribe(wave, **kwargs)
+    ours = transcribe(our_model, wave, **kwargs)
+    assert len(ours["segments"]) == len(ref["segments"])
+    for so, sr in zip(ours["segments"], ref["segments"]):
+        assert so["temperature"] == sr["temperature"] == 1.0
+
+
+def test_logprob_threshold_fallback_parity(en_models, long_wave):
+    """logprob_threshold=0 always fails (logprobs are negative), exercising
+    the avg_logprob fallback check; with a single temperature the ladder has
+    nowhere to go and keeps the t=0 result — exactly like the reference."""
+    ref_model, our_model = en_models
+    wave = long_wave[: 16000 * 8]
+    kwargs = dict(
+        without_timestamps=True,
+        sample_len=8,
+        fp16=False,
+        verbose=None,
+        temperature=0.0,
+        compression_ratio_threshold=2.4,
+        logprob_threshold=0.0,
+        no_speech_threshold=None,
+    )
+    ref = ref_model.transcribe(wave, **kwargs)
+    ours = transcribe(our_model, wave, **kwargs)
+    assert ours["text"] == ref["text"]
+    for so, sr in zip(ours["segments"], ref["segments"]):
+        assert so["tokens"] == sr["tokens"]
+        assert so["temperature"] == sr["temperature"]
+
+
+def test_no_speech_skip_parity(en_models):
+    """A silent clip with a tiny no_speech_threshold: window skipping
+    (reference transcribe.py:298-310) must agree on which segments survive."""
+    ref_model, our_model = en_models
+    silence = np.zeros(16000 * 5, dtype=np.float32)
+    kwargs = dict(
+        without_timestamps=True,
+        sample_len=6,
+        fp16=False,
+        verbose=None,
+        no_speech_threshold=1e-9,  # everything counts as no-speech...
+        logprob_threshold=-1e9,    # ...but logprob check overrides the skip
+    )
+    ref = ref_model.transcribe(silence, **kwargs)
+    ours = transcribe(our_model, silence, **kwargs)
+    assert len(ours["segments"]) == len(ref["segments"])
+    kwargs["logprob_threshold"] = -0.0001  # now the skip fires
+    ref = ref_model.transcribe(silence, **kwargs)
+    ours = transcribe(our_model, silence, **kwargs)
+    assert len(ours["segments"]) == len(ref["segments"])
+    assert ours["text"] == ref["text"]
