@@ -18,7 +18,6 @@ TextDecoder :207-249, MultiHeadAttention :81-139), re-designed for XLA:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

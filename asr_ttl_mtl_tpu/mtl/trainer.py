@@ -36,7 +36,7 @@ import optax
 
 from ..audio import log_mel_spectrogram_jax
 from ..models import whisper as W
-from ..models.dims import PRESET_DIMS, ModelDimensions
+from ..models.dims import ModelDimensions
 from ..models.registry import (
     WhisperModel,
     convert_torch_state_dict,

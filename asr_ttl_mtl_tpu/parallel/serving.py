@@ -15,8 +15,7 @@ framework's own scaling surface for batched transcription.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
