@@ -40,7 +40,9 @@ def main():
 
     model = from_random("base", seed=0, compute_dtype=compute_dtype)
 
-    BATCH = 32 if on_tpu else 4
+    # B=64 amortizes the encoder + per-dispatch overhead better than B=32
+    # (measured 6470 vs ~6000 audio-s/s on a v5e) while still fitting HBM
+    BATCH = 64 if on_tpu else 4
     DECODE_TOKENS = 64
     CHUNK_SECONDS = 30.0
 
