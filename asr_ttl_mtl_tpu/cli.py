@@ -53,7 +53,8 @@ def cli():
 
     parser.add_argument("--condition_on_previous_text", type=str2bool, default=True, help="provide the previous output as a prompt for the next window")
     parser.add_argument("--fp16", type=str2bool, default=True, help="use the fast half-precision compute dtype (bf16 on TPU)")
-    parser.add_argument("--kv_int8", type=str2bool, default=False, help="store per-window cross-attention K/V int8 (per-row scales): ~1.5x faster batched decoding, approximately identical output")
+    parser.add_argument("--kv_int8", type=str2bool, default=False, help="store the attention K/V caches int8 (per-row scales): faster batched decoding, approximately identical output")
+    parser.add_argument("--batch_mode", type=str2bool, default=False, help="decode every 30s window of every input file in device-wide batches (throughput mode; windows are decoded independently)")
 
     parser.add_argument("--temperature_increment_on_fallback", type=optional_float, default=0.2, help="temperature increment on decode-quality fallback")
     parser.add_argument("--compression_ratio_threshold", type=optional_float, default=2.4, help="gzip compression ratio above which a decode is treated as failed")
@@ -120,9 +121,38 @@ def cli():
     if args["max_words_per_line"] and args["max_line_width"]:
         warnings.warn("--max_words_per_line has no effect with --max_line_width")
     writer_args = {arg: args.pop(arg) for arg in word_options}
-    from .transcribe import transcribe  # noqa: F811
+    from .transcribe import transcribe, transcribe_batch  # noqa: F811
 
-    for audio_path in args.pop("audio"):
+    audio_paths = args.pop("audio")
+    if args.pop("batch_mode"):
+        # throughput mode: every 30 s window of every file decoded in
+        # device-wide batches (no cross-window prompt conditioning; see
+        # transcribe_batch). TPU-native addition — the reference CLI only
+        # loops files sequentially.
+        batch_args = {
+            k: v for k, v in args.items()
+            if k not in (
+                "verbose", "compression_ratio_threshold", "logprob_threshold",
+                "no_speech_threshold", "condition_on_previous_text",
+                "word_timestamps", "initial_prompt", "carry_initial_prompt",
+                "prepend_punctuations", "append_punctuations",
+                "clip_timestamps", "hallucination_silence_threshold",
+            )
+        }
+        try:
+            results = transcribe_batch(
+                model, list(audio_paths),
+                temperature=temperature[0] if len(temperature) else 0.0,
+                **batch_args,
+            )
+            for audio_path, result in zip(audio_paths, results):
+                writer(result, audio_path, **writer_args)
+        except Exception as e:
+            traceback.print_exc()
+            print(f"Batch transcription failed: {type(e).__name__}: {str(e)}")
+        return
+
+    for audio_path in audio_paths:
         try:
             result = transcribe(model, audio_path, temperature=temperature, **args)
             writer(result, audio_path, **writer_args)

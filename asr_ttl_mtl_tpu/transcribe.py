@@ -449,6 +449,13 @@ def transcribe_batch(
             language = max(probs, key=probs.get)
         else:
             language = "en"
+    # same beam/best_of disambiguation as decode_with_fallback: greedy/beam
+    # at t==0, sampling candidates at t>0 (reference transcribe.py:192-197)
+    if (decode_options.get("temperature") or 0) > 0:
+        decode_options.pop("beam_size", None)
+        decode_options.pop("patience", None)
+    else:
+        decode_options.pop("best_of", None)
     options = DecodingOptions(language=language, **decode_options)
     task = DecodingTask(model, options)
 

@@ -246,3 +246,24 @@ def test_no_speech_skip_parity(en_models):
     ours = transcribe(our_model, silence, **kwargs)
     assert len(ours["segments"]) == len(ref["segments"])
     assert ours["text"] == ref["text"]
+
+
+def test_transcribe_batch_disambiguates_beam_and_best_of(en_models):
+    """transcribe_batch applies the ladder's beam/best_of rule (t=0 keeps
+    beam, drops best_of) instead of failing option validation — the CLI
+    passes both defaults like the reference CLI does."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    _, our_model = en_models
+    rng = np.random.RandomState(31)
+    wave = (rng.randn(16000) * 0.1).astype(np.float32)
+    outs = transcribe_batch(
+        our_model, [wave], batch_size=2, without_timestamps=True, sample_len=6,
+        fp16=False, temperature=0.0, beam_size=2, best_of=5, language="en",
+    )
+    assert len(outs) == 1 and len(outs[0]["segments"]) == 1
+    outs = transcribe_batch(
+        our_model, [wave], batch_size=2, without_timestamps=True, sample_len=6,
+        fp16=False, temperature=0.7, beam_size=2, best_of=2, language="en",
+    )
+    assert len(outs) == 1
