@@ -125,6 +125,19 @@ def cli():
 
     audio_paths = args.pop("audio")
     if args.pop("batch_mode"):
+        # options the independent-window batch path cannot honor must fail
+        # loudly instead of silently vanishing
+        for unsupported in ("word_timestamps", "initial_prompt",
+                            "hallucination_silence_threshold"):
+            if args.get(unsupported):
+                parser.error(f"--{unsupported} is not supported with --batch_mode")
+        if args.get("clip_timestamps", "0") != "0":
+            parser.error("--clip_timestamps is not supported with --batch_mode")
+        if len(temperature) > 1:
+            warnings.warn(
+                "--batch_mode decodes each window once (no decode-quality "
+                "fallback ladder); using the base temperature only"
+            )
         # throughput mode: every 30 s window of every file decoded in
         # device-wide batches (no cross-window prompt conditioning; see
         # transcribe_batch). TPU-native addition — the reference CLI only

@@ -432,6 +432,10 @@ def _clear_program_caches() -> None:
 
     _beam._build_beam_loop.cache_clear()
     _beam._build_beam_window.cache_clear()
+    from .parallel import serving as _serving
+
+    _serving._build_dp_greedy.cache_clear()
+    _serving._build_dp_beam.cache_clear()
 
 
 @lru_cache(maxsize=32)
@@ -730,10 +734,17 @@ class DecodingTask:
             use_dk, _ = W._decode_kernel_state()
             if not (use_dk or W._FLASH["enabled"]):
                 raise  # kernels already off: a real error
+            # only retry when the failure is actually the custom kernels —
+            # backend contention / OOM / remote-compile errors must propagate
+            # without permanently degrading the whole process to XLA paths
+            msg = f"{type(e).__name__}: {e}"
+            kernel_markers = ("mosaic", "pallas", "tpu_custom_call", "custom_call")
+            if not any(m in msg.lower() for m in kernel_markers):
+                raise
             import warnings
 
             warnings.warn(
-                f"custom TPU kernel path failed ({type(e).__name__}: {e}); "
+                f"custom TPU kernel path failed ({msg}); "
                 "retrying with plain XLA attention"
             )
             W.set_decode_kernel("off")

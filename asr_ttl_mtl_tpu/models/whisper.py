@@ -402,10 +402,21 @@ def decoder_apply(
     use_dk, dk_interpret = _decode_kernel_state()
     fast_step = use_dk and T == 1 and kv_cache is not None and not return_cross_qk
     kv_quantized = cross_kv is not None and "k_scale" in cross_kv
+    # the int8 kernel needs a tiling-legal (b_blk, tk_blk) geometry
+    # (ops/decode_attention._i8_blocks); unsupported shapes dequantize into
+    # the einsum path instead of asserting inside the kernel
+    i8_cross_ok = i8_self_ok = False
+    if fast_step and (kv_quantized or self_quant):
+        from ..ops.decode_attention import decode_attention_i8, i8_supported
+
+        if kv_quantized:
+            i8_cross_ok = i8_supported(
+                cross_kv["k"].shape[1], cross_kv["k"].shape[2], D
+            )
+        if self_quant:
+            i8_self_ok = i8_supported(B, kv_cache["k"].shape[2], D)
     if fast_step:
         from ..ops.decode_attention import decode_attention
-        if kv_quantized or (kv_cache is not None and "k_scale" in kv_cache):
-            from ..ops.decode_attention import decode_attention_i8
 
     d_head_scale = float((dims.n_text_state // dims.n_text_head) ** -0.5)
 
@@ -425,12 +436,12 @@ def decoder_apply(
         elif kv_cache is not None:
             cache_k = jax.lax.dynamic_update_slice(cache_k, k[None], (li, 0, pos_offset, 0))
             cache_v = jax.lax.dynamic_update_slice(cache_v, v[None], (li, 0, pos_offset, 0))
-        if fast_step and self_quant:
+        if fast_step and self_quant and i8_self_ok:
             att = decode_attention_i8(
                 q, cache_k, cache_ks, cache_v, cache_vs, li, dims.n_text_head,
                 scale=d_head_scale, valid_upto=pos_offset, interpret=dk_interpret,
             )
-        elif fast_step:
+        elif fast_step and not self_quant:
             att = decode_attention(
                 q, cache_k, cache_v, li, dims.n_text_head,
                 scale=d_head_scale, valid_upto=pos_offset, interpret=dk_interpret,
@@ -451,15 +462,15 @@ def decoder_apply(
         res = x
         h = layer_norm(block["cross_attn_ln"], x)
         qc = linear(block["cross_attn"]["query"], h)
-        if fast_step and kv_quantized:
-            # the int8 store pads T to a 32 multiple; mask the padded tail
+        if fast_step and kv_quantized and i8_cross_ok:
+            # the int8 store pads T to the tile; mask the padded tail
             att, qk = decode_attention_i8(
                 qc, cross_kv["k"], cross_kv["k_scale"],
                 cross_kv["v"], cross_kv["v_scale"], li, dims.n_text_head,
                 scale=d_head_scale, valid_upto=dims.n_audio_ctx - 1,
                 group=kv_group, interpret=dk_interpret,
             ), None
-        elif fast_step:
+        elif fast_step and not kv_quantized:
             att, qk = decode_attention(
                 qc, cross_kv["k"], cross_kv["v"], li, dims.n_text_head,
                 scale=d_head_scale, group=kv_group, interpret=dk_interpret,

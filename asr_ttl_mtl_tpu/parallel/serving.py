@@ -15,6 +15,7 @@ framework's own scaling surface for batched transcription.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List
 
 import jax
@@ -23,6 +24,52 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from .mesh import create_mesh
+
+
+@lru_cache(maxsize=32)
+def _build_dp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant):
+    """jit(shard_map(beam window)) cached per (mesh, program shape) — a fresh
+    wrapper per call would re-trace the whole program every chunk."""
+    from ..beam import _beam_window_fn
+
+    fn = _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant)
+
+    def per_shard_beam(params, mel, toks, valid, sot, nosp):
+        ft, fs, fc, lb, lsp, ns, n = fn(params, mel, toks, valid, sot, nosp)
+        # scalar -> (1,) so the per-shard step counts stack over dp
+        return ft, fs, fc, lb, lsp, ns, jnp.reshape(n, (1,))
+
+    return jax.jit(
+        jax.shard_map(
+            per_shard_beam,
+            mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P(), P(), P()),
+            out_specs=tuple(P("dp") for _ in range(7)),
+            check_vma=False,
+        )
+    )
+
+
+@lru_cache(maxsize=32)
+def _build_dp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
+    from ..decoding import _greedy_window_fn
+
+    fn = _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant)
+
+    def per_shard(params, mel, toks, valid, sot, nosp, temp, seed):
+        buf, sum_lp, ns, n = fn(params, mel, toks, valid, sot, nosp, temp, seed)
+        # scalar -> (1,) so the per-shard step counts stack over dp
+        return buf, sum_lp, ns, jnp.reshape(n, (1,))
+
+    return jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P(), P(), P(), P(), P()),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            check_vma=False,
+        )
+    )
 
 
 def decode_batched_dp(
@@ -46,7 +93,6 @@ def decode_batched_dp(
         DecodingTask,
         MaximumLikelihoodRanker,
         _bucket,
-        _greedy_window_fn,
     )
     from ..utils import compression_ratio
 
@@ -77,28 +123,15 @@ def decode_batched_dp(
     no_speech = task.tokenizer.no_speech if task.tokenizer.no_speech is not None else -1
 
     if options.beam_size is not None:
-        from ..beam import _beam_window_fn, assemble_beam_results
+        from ..beam import assemble_beam_results
 
         K = options.beam_size
-        C = round(K * (options.patience or 1.0))
-        fn = _beam_window_fn(
-            model.dims, task.filter_cfg, bucket, sample_len, K, C,
+        patience = options.patience or 1.0
+        C = round(K * patience)
+        assert C > 0, f"Invalid beam size ({K}) or patience ({patience})"
+        sharded = _build_dp_beam(
+            mesh, model.dims, task.filter_cfg, bucket, sample_len, K, C,
             task._dtype_name, task.kv_quant,
-        )
-
-        def per_shard_beam(params, mel, toks, valid, sot, nosp):
-            ft, fs, fc, lb, lsp, ns, n = fn(params, mel, toks, valid, sot, nosp)
-            # scalar -> (1,) so the per-shard step counts stack over dp
-            return ft, fs, fc, lb, lsp, ns, jnp.reshape(n, (1,))
-
-        sharded = jax.jit(
-            jax.shard_map(
-                per_shard_beam,
-                mesh=mesh,
-                in_specs=(P(), P("dp"), P("dp"), P(), P(), P()),
-                out_specs=tuple(P("dp") for _ in range(7)),
-                check_vma=False,
-            )
         )
         outs = sharded(
             model.params,
@@ -112,24 +145,9 @@ def decode_batched_dp(
             [np.asarray(o) for o in outs], B, K, valid_len, task.tokenizer.eot
         )
     else:
-        fn = _greedy_window_fn(
-            model.dims, task.filter_cfg, bucket, sample_len, task._dtype_name,
-            task.kv_quant,
-        )
-
-        def per_shard(params, mel, toks, valid, sot, nosp, temp, seed):
-            buf, sum_lp, ns, n = fn(params, mel, toks, valid, sot, nosp, temp, seed)
-            # scalar -> (1,) so the per-shard step counts stack over dp
-            return buf, sum_lp, ns, jnp.reshape(n, (1,))
-
-        sharded = jax.jit(
-            jax.shard_map(
-                per_shard,
-                mesh=mesh,
-                in_specs=(P(), P("dp"), P("dp"), P(), P(), P(), P(), P()),
-                out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-                check_vma=False,
-            )
+        sharded = _build_dp_greedy(
+            mesh, model.dims, task.filter_cfg, bucket, sample_len,
+            task._dtype_name, task.kv_quant,
         )
 
         buf, sum_lp, ns_probs, n_sampled = sharded(

@@ -466,6 +466,11 @@ def transcribe_batch(
     for i in range(0, len(windows), batch_size):
         chunk = windows[i : i + batch_size]
         pad_to = len(chunk)
+        # pad the last chunk to the full batch so every call reuses ONE
+        # compiled program shape (fresh shapes cost minutes over a
+        # remote-attached chip)
+        if len(chunk) < batch_size and len(windows) > batch_size:
+            chunk = chunk + [np.zeros_like(chunk[0])] * (batch_size - len(chunk))
         if mesh is not None:
             out = decode_batched_dp(model, np.stack(chunk), options, mesh=mesh)
         else:

@@ -1,9 +1,9 @@
 #!/usr/bin/env bash
 # Serving recipes (see PERF.md for measured numbers on a v5e chip).
 
-# Batched greedy transcription, bit-exact bf16 path:
+# Batched greedy transcription (throughput mode), bit-exact bf16 path:
 python -m asr_ttl_mtl_tpu audio1.wav audio2.wav --model base --language en \
-  --beam_size "" --temperature 0 --output_dir out/
+  --batch_mode True --beam_size None --temperature 0 --output_dir out/
 
 # int8 KV serving mode: ~+16% batched greedy / +45% beam throughput at base,
 # approximately identical output (per-row-scaled int8 KV caches):
