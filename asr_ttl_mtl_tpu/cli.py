@@ -55,6 +55,7 @@ def cli():
     parser.add_argument("--fp16", type=str2bool, default=True, help="use the fast half-precision compute dtype (bf16 on TPU)")
     parser.add_argument("--kv_int8", type=str2bool, default=False, help="store the attention K/V caches int8 (per-row scales): faster batched decoding, approximately identical output")
     parser.add_argument("--batch_mode", type=str2bool, default=False, help="decode every 30s window of every input file in device-wide batches (throughput mode; windows are decoded independently)")
+    parser.add_argument("--dp", type=optional_int, default=None, help="with --batch_mode: shard window batches data-parallel over this many devices (a jax.sharding mesh); default: single device")
 
     parser.add_argument("--temperature_increment_on_fallback", type=optional_float, default=0.2, help="temperature increment on decode-quality fallback")
     parser.add_argument("--compression_ratio_threshold", type=optional_float, default=2.4, help="gzip compression ratio above which a decode is treated as failed")
@@ -138,6 +139,11 @@ def cli():
                 "--batch_mode decodes each window once (no decode-quality "
                 "fallback ladder); using the base temperature only"
             )
+        mesh = None
+        if (dp := args.pop("dp")) is not None:
+            from .parallel.mesh import create_mesh
+
+            mesh = create_mesh((dp, 1))
         # throughput mode: every 30 s window of every file decoded in
         # device-wide batches (no cross-window prompt conditioning; see
         # transcribe_batch). TPU-native addition — the reference CLI only
@@ -154,7 +160,7 @@ def cli():
         }
         try:
             results = transcribe_batch(
-                model, list(audio_paths),
+                model, list(audio_paths), mesh=mesh,
                 temperature=temperature[0] if len(temperature) else 0.0,
                 **batch_args,
             )
@@ -165,6 +171,7 @@ def cli():
             print(f"Batch transcription failed: {type(e).__name__}: {str(e)}")
         return
 
+    args.pop("dp", None)
     for audio_path in audio_paths:
         try:
             result = transcribe(model, audio_path, temperature=temperature, **args)
