@@ -1,7 +1,18 @@
 """Transcript output writers: txt / vtt / srt / tsv / json.
 
-Behavioral parity with reference `whisper/utils.py:85-318`, including the
-subtitle line-breaking and word-highlighting engine.
+Behavioral parity target: reference ``whisper/utils.py:85-318`` (same output
+bytes for every format/option combination — enforced by the differential
+tests in tests/test_transcribe.py). The implementation is this framework's
+own three-stage pipeline:
+
+1. **flatten** — segments are lowered to a flat stream of :class:`_Word`
+   records carrying timing, the original text (leading whitespace intact),
+   and a ``chunk_head`` flag marking segment / max-words-per-line borders;
+2. **layout** — a single pass over the stream packs words into *cues*.
+   A cue is a list of lines and a line is a list of words: line breaks are
+   structural here, not ``"\\n"`` characters smuggled inside word strings;
+3. **render** — each output format serializes the cue list (or the raw
+   segment list for the word-less formats) into its file syntax.
 """
 
 from __future__ import annotations
@@ -9,20 +20,135 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Callable, List, Optional, TextIO
+from dataclasses import dataclass, replace
+from typing import Callable, Iterable, Iterator, List, Optional, TextIO, Tuple
 
 from . import format_timestamp, get_start
 
+# ---------------------------------------------------------------------------
+# stage 1: flatten
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Word:
+    text: str  # verbatim word text; leading whitespace preserved
+    start: float
+    end: float
+    chunk_head: bool  # first word of a segment (or of a max-words slice)
+
+
+def _flatten_words(segments: List[dict], words_per_chunk: int) -> Iterator[_Word]:
+    """Lower the nested segment/word structure to a flat word stream.
+
+    ``chunk_head`` is set on every word whose in-segment index is a multiple
+    of ``words_per_chunk`` — i.e. each segment's first word plus each
+    max-words-per-line boundary within it.
+    """
+    for segment in segments:
+        for index, word in enumerate(segment.get("words") or ()):
+            yield _Word(
+                text=word["word"],
+                start=word["start"],
+                end=word["end"],
+                chunk_head=index % words_per_chunk == 0,
+            )
+
+
+# ---------------------------------------------------------------------------
+# stage 2: layout
+# ---------------------------------------------------------------------------
+
+_Cue = List[List[_Word]]  # a cue is a list of lines; a line is a list of words
+_PAUSE_SECONDS = 3.0  # silence between word *starts* that forces a cue break
+
+
+def _layout_cues(
+    segments: List[dict],
+    *,
+    width: int,
+    max_lines: Optional[int],
+    words_per_chunk: int,
+    keep_segments: bool,
+) -> Iterator[_Cue]:
+    """Pack the word stream into cues under the width / line-count budget.
+
+    Invariants mirroring the reference engine (``utils.py:142-194``):
+    a word opens a new line when the current line is non-empty and the word
+    does not fit (its whitespace-inclusive length counted for fitting, its
+    stripped length for the new line), when a >3 s gap in word starts occurs
+    (only in re-flow mode), or at a chunk head (only in segment-preserving
+    mode); a new line becomes a new *cue* instead when the open cue already
+    holds ``max_lines`` lines, on the same long pause, or at a chunk head.
+    """
+    closed: List[List[_Word]] = []  # completed lines of the open cue
+    line: List[_Word] = []  # words on the open line
+    used = 0  # printable budget consumed on the open line
+    prev_start = get_start(segments) or 0.0
+
+    for word in _flatten_words(segments, words_per_chunk):
+        pause = not keep_segments and word.start - prev_start > _PAUSE_SECONDS
+        fits = used + len(word.text) <= width
+        boundary = word.chunk_head and keep_segments and bool(line or closed)
+
+        if used > 0 and fits and not pause and not boundary:
+            # word continues the open line, whitespace and all
+            line.append(word)
+            used += len(word.text)
+        else:
+            bare = replace(word, text=word.text.strip())
+            cue_full = (
+                bool(line or closed)
+                and max_lines is not None
+                and (pause or len(closed) + 1 >= max_lines)
+            )
+            if cue_full or boundary:
+                yield closed + [line]
+                closed, line = [], [bare]
+            elif used > 0:
+                closed.append(line)
+                line = [bare]
+            else:
+                # open line held only whitespace-stripped-to-nothing words
+                line.append(bare)
+            used = len(bare.text.strip())
+        prev_start = word.start
+
+    if line or closed:
+        yield closed + [line]
+
+
+def _cue_text(cue: _Cue, underline: Optional[_Word] = None) -> str:
+    """Join a cue back into display text, newline per structural line.
+
+    With ``underline`` set, that word (matched by identity) is wrapped in
+    ``<u>`` tags after its leading whitespace, for karaoke-style highlights.
+    """
+
+    def show(word: _Word) -> str:
+        if word is not underline:
+            return word.text
+        return re.sub(r"^(\s*)(\S.*)?$", lambda m: f"{m.group(1)}<u>{m.group(2) or ''}</u>", word.text)
+
+    return "\n".join("".join(show(w) for w in line) for line in cue)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: render
+# ---------------------------------------------------------------------------
+
 
 class ResultWriter:
+    """Writes one transcription result dict next to the audio file's name."""
+
     extension: str
 
     def __init__(self, output_dir: str):
         self.output_dir = output_dir
 
     def __call__(self, result: dict, audio_path: str, options: Optional[dict] = None, **kwargs):
-        audio_basename = os.path.splitext(os.path.basename(audio_path))[0]
-        output_path = os.path.join(self.output_dir, audio_basename + "." + self.extension)
+        stem = os.path.splitext(os.path.basename(audio_path))[0]
+        output_path = os.path.join(self.output_dir, f"{stem}.{self.extension}")
         with open(output_path, "w", encoding="utf-8") as f:
             self.write_result(result, file=f, options=options, **kwargs)
 
@@ -31,104 +157,24 @@ class ResultWriter:
 
 
 class WriteTXT(ResultWriter):
-    extension: str = "txt"
+    extension = "txt"
 
     def write_result(self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs):
         for segment in result["segments"]:
-            print(segment["text"].strip(), file=file, flush=True)
+            file.write(segment["text"].strip() + "\n")
+            file.flush()
+
+
+def _resolved(kwargs: dict, options: Optional[dict], key: str, default=None):
+    """A keyword argument wins over the writer-options dict, which wins over
+    the default — the same precedence the reference's iterate_result gives
+    its keyword/option pairs."""
+    return kwargs.get(key) or (options or {}).get(key) or default
 
 
 class SubtitlesWriter(ResultWriter):
     always_include_hours: bool
     decimal_marker: str
-
-    def iterate_result(
-        self,
-        result: dict,
-        options: Optional[dict] = None,
-        *,
-        max_line_width: Optional[int] = None,
-        max_line_count: Optional[int] = None,
-        highlight_words: bool = False,
-        max_words_per_line: Optional[int] = None,
-    ):
-        options = options or {}
-        max_line_width = max_line_width or options.get("max_line_width")
-        max_line_count = max_line_count or options.get("max_line_count")
-        highlight_words = highlight_words or options.get("highlight_words", False)
-        max_words_per_line = max_words_per_line or options.get("max_words_per_line")
-        preserve_segments = max_line_count is None or max_line_width is None
-        max_line_width = max_line_width or 1000
-        max_words_per_line = max_words_per_line or 1000
-
-        def iterate_subtitles():
-            line_len = 0
-            line_count = 1
-            subtitle: List[dict] = []  # word timings with whitespace
-            last: float = get_start(result["segments"]) or 0.0
-            for segment in result["segments"]:
-                chunk_index = 0
-                words_count = max_words_per_line
-                while chunk_index < len(segment["words"]):
-                    remaining_words = len(segment["words"]) - chunk_index
-                    if max_words_per_line > len(segment["words"]) - chunk_index:
-                        words_count = remaining_words
-                    for i, original_timing in enumerate(
-                        segment["words"][chunk_index : chunk_index + words_count]
-                    ):
-                        timing = original_timing.copy()
-                        long_pause = not preserve_segments and timing["start"] - last > 3.0
-                        has_room = line_len + len(timing["word"]) <= max_line_width
-                        seg_break = i == 0 and len(subtitle) > 0 and preserve_segments
-                        if line_len > 0 and has_room and not long_pause and not seg_break:
-                            line_len += len(timing["word"])
-                        else:
-                            timing["word"] = timing["word"].strip()
-                            if (
-                                len(subtitle) > 0
-                                and max_line_count is not None
-                                and (long_pause or line_count >= max_line_count)
-                                or seg_break
-                            ):
-                                yield subtitle
-                                subtitle = []
-                                line_count = 1
-                            elif line_len > 0:
-                                line_count += 1
-                                timing["word"] = "\n" + timing["word"]
-                            line_len = len(timing["word"].strip())
-                        subtitle.append(timing)
-                        last = timing["start"]
-                    chunk_index += max_words_per_line
-            if len(subtitle) > 0:
-                yield subtitle
-
-        if len(result["segments"]) > 0 and "words" in result["segments"][0]:
-            for subtitle in iterate_subtitles():
-                subtitle_start = self.format_timestamp(subtitle[0]["start"])
-                subtitle_end = self.format_timestamp(subtitle[-1]["end"])
-                subtitle_text = "".join(word["word"] for word in subtitle)
-                if highlight_words:
-                    last = subtitle_start
-                    all_words = [timing["word"] for timing in subtitle]
-                    for i, this_word in enumerate(subtitle):
-                        start = self.format_timestamp(this_word["start"])
-                        end = self.format_timestamp(this_word["end"])
-                        if last != start:
-                            yield last, start, subtitle_text
-                        yield start, end, "".join(
-                            re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", word) if j == i else word
-                            for j, word in enumerate(all_words)
-                        )
-                        last = end
-                else:
-                    yield subtitle_start, subtitle_end, subtitle_text
-        else:
-            for segment in result["segments"]:
-                segment_start = self.format_timestamp(segment["start"])
-                segment_end = self.format_timestamp(segment["end"])
-                segment_text = segment["text"].strip().replace("-->", "->")
-                yield segment_start, segment_end, segment_text
 
     def format_timestamp(self, seconds: float) -> str:
         return format_timestamp(
@@ -137,60 +183,96 @@ class SubtitlesWriter(ResultWriter):
             decimal_marker=self.decimal_marker,
         )
 
+    def iterate_result(
+        self, result: dict, options: Optional[dict] = None, **kwargs
+    ) -> Iterator[Tuple[str, str, str]]:
+        """Yield (start, end, text) cue tuples in this format's timestamp style."""
+        width = _resolved(kwargs, options, "max_line_width")
+        count = _resolved(kwargs, options, "max_line_count")
+        karaoke = _resolved(kwargs, options, "highlight_words", False)
+        per_line = _resolved(kwargs, options, "max_words_per_line")
+        stamp = self.format_timestamp
+
+        segments = result["segments"]
+        if not (segments and "words" in segments[0]):
+            # no word timings available: one cue per segment, verbatim
+            for segment in segments:
+                text = segment["text"].strip().replace("-->", "->")
+                yield stamp(segment["start"]), stamp(segment["end"]), text
+            return
+
+        cues = _layout_cues(
+            segments,
+            width=width or 1000,
+            max_lines=count,
+            words_per_chunk=per_line or 1000,
+            # re-flow across segment borders only when BOTH budgets are given
+            keep_segments=count is None or width is None,
+        )
+        for cue in cues:
+            words = [w for line in cue for w in line]
+            if not karaoke:
+                yield stamp(words[0].start), stamp(words[-1].end), _cue_text(cue)
+                continue
+            # karaoke mode: one sub-cue per word, plus gap cues between words
+            clock = stamp(words[0].start)
+            for word in words:
+                w_start, w_end = stamp(word.start), stamp(word.end)
+                if clock != w_start:
+                    yield clock, w_start, _cue_text(cue)
+                yield w_start, w_end, _cue_text(cue, underline=word)
+                clock = w_end
+
 
 class WriteVTT(SubtitlesWriter):
-    extension: str = "vtt"
-    always_include_hours: bool = False
-    decimal_marker: str = "."
+    extension, always_include_hours, decimal_marker = "vtt", False, "."
 
     def write_result(self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs):
-        print("WEBVTT\n", file=file)
+        file.write("WEBVTT\n\n")
         for start, end, text in self.iterate_result(result, options, **kwargs):
-            print(f"{start} --> {end}\n{text}\n", file=file, flush=True)
+            file.write(f"{start} --> {end}\n{text}\n\n")
+            file.flush()
 
 
 class WriteSRT(SubtitlesWriter):
-    extension: str = "srt"
-    always_include_hours: bool = True
-    decimal_marker: str = ","
+    extension, always_include_hours, decimal_marker = "srt", True, ","
 
     def write_result(self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs):
-        for i, (start, end, text) in enumerate(
-            self.iterate_result(result, options, **kwargs), start=1
-        ):
-            print(f"{i}\n{start} --> {end}\n{text}\n", file=file, flush=True)
+        for i, (start, end, text) in enumerate(self.iterate_result(result, options, **kwargs), 1):
+            file.write(f"{i}\n{start} --> {end}\n{text}\n\n")
+            file.flush()
 
 
 class WriteTSV(ResultWriter):
     """start/end in integer milliseconds + text, one row per segment."""
 
-    extension: str = "tsv"
+    extension = "tsv"
 
     def write_result(self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs):
-        print("start", "end", "text", sep="\t", file=file)
+        file.write("start\tend\ttext\n")
         for segment in result["segments"]:
-            print(round(1000 * segment["start"]), file=file, end="\t")
-            print(round(1000 * segment["end"]), file=file, end="\t")
-            print(segment["text"].strip().replace("\t", " "), file=file, flush=True)
+            row = (
+                str(round(1000 * segment["start"])),
+                str(round(1000 * segment["end"])),
+                segment["text"].strip().replace("\t", " "),
+            )
+            file.write("\t".join(row) + "\n")
+            file.flush()
 
 
 class WriteJSON(ResultWriter):
-    extension: str = "json"
+    extension = "json"
 
     def write_result(self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs):
         json.dump(result, file)
 
 
+_WRITERS = {cls.extension: cls for cls in (WriteTXT, WriteVTT, WriteSRT, WriteTSV, WriteJSON)}
+
+
 def get_writer(output_format: str, output_dir: str) -> Callable[[dict, TextIO, dict], None]:
-    writers = {
-        "txt": WriteTXT,
-        "vtt": WriteVTT,
-        "srt": WriteSRT,
-        "tsv": WriteTSV,
-        "json": WriteJSON,
-    }
     if output_format == "all":
-        all_writers = [writer(output_dir) for writer in writers.values()]
+        all_writers = [cls(output_dir) for cls in _WRITERS.values()]
 
         def write_all(result: dict, file: TextIO, options: Optional[dict] = None, **kwargs):
             for writer in all_writers:
@@ -198,4 +280,4 @@ def get_writer(output_format: str, output_dir: str) -> Callable[[dict, TextIO, d
 
         return write_all
 
-    return writers[output_format](output_dir)
+    return _WRITERS[output_format](output_dir)

@@ -160,6 +160,68 @@ def test_writer_parity(tmp_path, fmt, writer_args):
     assert our_out == ref_out
 
 
+def test_writer_fuzz_parity(tmp_path):
+    """Randomized word streams x option grids: the layout engine must emit
+    byte-identical subtitles to the reference for every combination."""
+    import itertools
+
+    from whisper.utils import get_writer as ref_get_writer
+
+    from asr_ttl_mtl_tpu.utils.writers import get_writer
+
+    rng = np.random.RandomState(7)
+    vocab = ["a", "hello", "neuropsychological", "it's", "x", "—", "  ", "ok?"]
+
+    def random_result(seed):
+        r = np.random.RandomState(seed)
+        t = 0.0
+        segments = []
+        # real transcribe() output has words on ALL segments or none (the
+        # reference writer KeyErrors on a mix)
+        with_words = r.rand() < 0.9
+        for sid in range(r.randint(1, 5)):
+            words = []
+            for _ in range(r.randint(0, 9)):
+                t += float(r.choice([0.05, 0.4, 1.0, 4.5], p=[0.4, 0.3, 0.2, 0.1]))
+                dur = float(r.uniform(0.05, 1.2))
+                words.append(
+                    {"word": " " + str(r.choice(vocab)), "start": round(t, 2),
+                     "end": round(t + dur, 2), "probability": 0.9}
+                )
+                t += dur
+            text = "".join(w["word"] for w in words)
+            seg = {"id": sid, "start": words[0]["start"] if words else round(t, 2),
+                   "end": words[-1]["end"] if words else round(t + 1, 2), "text": text}
+            if with_words:
+                seg["words"] = words
+            segments.append(seg)
+        return {"text": "".join(s["text"] for s in segments), "language": "en",
+                "segments": segments}
+
+    option_grid = [
+        {},
+        {"highlight_words": True},
+        {"max_line_width": 8},
+        {"max_line_count": 1},
+        {"max_line_width": 12, "max_line_count": 2},
+        {"max_line_width": 5, "max_line_count": 3, "highlight_words": True},
+        {"max_words_per_line": 1},
+        {"max_words_per_line": 3, "max_line_width": 14, "max_line_count": 2},
+    ]
+    for seed, (fmt, opts) in zip(
+        rng.randint(0, 10_000, 200),
+        itertools.cycle(itertools.product(["vtt", "srt"], option_grid)),
+    ):
+        result = random_result(int(seed))
+        ref_dir = tmp_path / f"r{seed}{fmt}{len(opts)}"
+        our_dir = tmp_path / f"o{seed}{fmt}{len(opts)}"
+        ref_dir.mkdir(), our_dir.mkdir()
+        ref_get_writer(fmt, str(ref_dir))(dict(result), "a.wav", **opts)
+        get_writer(fmt, str(our_dir))(dict(result), "a.wav", **opts)
+        assert (our_dir / f"a.{fmt}").read_text() == (ref_dir / f"a.{fmt}").read_text(), (
+            seed, fmt, opts)
+
+
 def test_transcribe_word_timestamps_parity(models, wave):
     """Full pipeline with word timestamps (DTW alignment path)."""
     ref_model, our_model = models
