@@ -1,21 +1,27 @@
 """Long-form transcription: host-side sliding-window pipeline.
 
-Behavioral parity with reference `whisper/transcribe.py:38-514`: 30 s of
+Behavioral parity with reference ``whisper/transcribe.py:38-514``: 30 s of
 silence padding, seek-pointer windowing, temperature-fallback ladder,
 no-speech skipping, consecutive-timestamp segment splitting, prompt
-conditioning (`condition_on_previous_text` / `carry_initial_prompt`),
+conditioning (``condition_on_previous_text`` / ``carry_initial_prompt``),
 clip_timestamps windows, word timestamps and the hallucination-silence
-heuristics.
+heuristics — all verified by the differential tests in tests/test_transcribe*.
 
-The loop itself is I/O + control and stays host-side Python (as the
-reference's does); every window decode is a single compiled XLA program (see
-decoding.py). For throughput-oriented batch transcription of many files, see
+The pipeline is decomposed into small host-side pieces this framework owns:
+:class:`QualityGates` (the ladder's accept/retry/silence verdicts, shared by
+the sequential and the batched ladder), :func:`options_at_temperature`
+(per-rung option pruning), :func:`_cut_segments` (timestamp-pair splitting of
+a window's token run), and the hallucination scoring helpers. The seek loop
+itself is I/O + control and stays Python (as the reference's does); every
+window decode is a single compiled XLA program (see decoding.py). For
+throughput-oriented batch transcription of many files, see
 :func:`transcribe_batch`.
 """
 
 from __future__ import annotations
 
 import warnings
+from dataclasses import dataclass
 from typing import TYPE_CHECKING, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
@@ -37,6 +43,232 @@ from .utils import exact_div, format_timestamp, get_end, make_safe
 
 if TYPE_CHECKING:
     from .models.registry import WhisperModel
+
+_PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+
+
+# ---------------------------------------------------------------------------
+# quality gates + temperature ladder (reference transcribe.py:184-224)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QualityGates:
+    """Acceptance thresholds applied to each window's decode result.
+
+    ``None`` disables a gate. A window is *degenerate* (retry hotter) when its
+    text compresses too well (repetition loop) or scores too low a mean
+    logprob — unless the no-speech detector is confident the window is
+    silence, which overrides both. A window is *silent* (skip entirely) when
+    no-speech probability clears its threshold and the logprob gate does not
+    vouch for the text.
+    """
+
+    compression_ratio: Optional[float] = 2.4
+    logprob: Optional[float] = -1.0
+    no_speech: Optional[float] = 0.6
+
+    def degenerate(self, result: DecodingResult) -> bool:
+        repetitive = (
+            self.compression_ratio is not None
+            and result.compression_ratio > self.compression_ratio
+        )
+        improbable = self.logprob is not None and result.avg_logprob < self.logprob
+        if improbable and self.no_speech is not None and result.no_speech_prob > self.no_speech:
+            return False  # confident silence: accept the window as-is
+        return repetitive or improbable
+
+    def silent_window(self, result: DecodingResult) -> bool:
+        if self.no_speech is None or result.no_speech_prob <= self.no_speech:
+            return False
+        # a passing logprob vouches for the decoded text despite no-speech
+        return not (self.logprob is not None and result.avg_logprob > self.logprob)
+
+
+def options_at_temperature(decode_options: dict, t: float) -> DecodingOptions:
+    """One rung of the ladder: beam search only at t==0, sampling candidates
+    only at t>0 (the reference's per-temperature option pruning)."""
+    opts = dict(decode_options)
+    for key in ("beam_size", "patience") if t > 0 else ("best_of",):
+        opts.pop(key, None)
+    opts["temperature"] = t
+    return DecodingOptions(**opts)
+
+
+def _as_ladder(temperature: Union[float, Tuple[float, ...]]) -> Tuple[float, ...]:
+    if isinstance(temperature, (int, float)):
+        return (float(temperature),)
+    return tuple(temperature)
+
+
+# ---------------------------------------------------------------------------
+# window token run -> segments (reference transcribe.py:339-399)
+# ---------------------------------------------------------------------------
+
+
+def _cut_segments(
+    tokens: np.ndarray,
+    tokenizer,
+    *,
+    time_offset: float,
+    time_precision: float,
+    segment_duration: float,
+    segment_size: int,
+    input_stride: int,
+    make,
+) -> Tuple[List[dict], int, bool]:
+    """Split a window's token run into segments at consecutive-timestamp cuts.
+
+    Returns (segments, frames_to_advance, single_timestamp_ending). ``make``
+    builds one segment dict from (start, end, tokens).
+    """
+    stamp = np.asarray(tokens >= tokenizer.timestamp_begin)
+    single_ending = len(tokens) >= 2 and bool(stamp[-1]) and not bool(stamp[-2])
+    pos = lambda tok: int(tok) - tokenizer.timestamp_begin  # noqa: E731
+
+    cuts = [i for i in range(1, len(tokens)) if stamp[i] and stamp[i - 1]]
+    if cuts:
+        bounds = cuts + [len(tokens)] if single_ending else cuts
+        segments = [
+            make(
+                start=time_offset + pos(tokens[lo]) * time_precision,
+                end=time_offset + pos(tokens[hi - 1]) * time_precision,
+                tokens=tokens[lo:hi],
+            )
+            for lo, hi in zip([0] + bounds[:-1], bounds)
+        ]
+        if single_ending:
+            advance = segment_size  # trailing silence: skip the whole window
+        else:
+            advance = pos(tokens[bounds[-1] - 1]) * input_stride
+        return segments, advance, single_ending
+
+    # no closed timestamp pair: one segment spanning to the last stamp (if any)
+    duration = segment_duration
+    stamps = tokens[stamp.nonzero()[0]]
+    if len(stamps) and pos(stamps[-1]) != 0:
+        duration = pos(stamps[-1]) * time_precision
+    only = make(start=time_offset, end=time_offset + duration, tokens=tokens)
+    return [only], segment_size, single_ending
+
+
+def _build_segment(tokenizer, *, seek, start, end, tokens, result) -> dict:
+    ids = [int(t) for t in tokens]
+    return {
+        "seek": seek,
+        "start": start,
+        "end": end,
+        "text": tokenizer.decode([t for t in ids if t < tokenizer.eot]),
+        "tokens": ids,
+        "temperature": result.temperature,
+        "avg_logprob": result.avg_logprob,
+        "compression_ratio": result.compression_ratio,
+        "no_speech_prob": result.no_speech_prob,
+    }
+
+
+# ---------------------------------------------------------------------------
+# hallucination heuristics (reference transcribe.py:316-334, :418-472)
+# ---------------------------------------------------------------------------
+
+
+def _anomaly_score(word: dict) -> float:
+    """Penalty for an implausible word: low probability, or a duration far
+    from the plausible band (too brief weighted 15x, too drawn out 1x)."""
+    duration = word["end"] - word["start"]
+    return (
+        (1.0 if word.get("probability", 0.0) < 0.15 else 0.0)
+        + max(0.0, 0.133 - duration) * 15
+        + max(0.0, duration - 2.0)
+    )
+
+
+def _is_hallucination(segment: Optional[dict]) -> bool:
+    """A segment smells hallucinated when its first (up to 8) non-punctuation
+    words are collectively anomalous: total penalty >= 3, or averaging about
+    one penalty point per word."""
+    if segment is None or not segment["words"]:
+        return False
+    words = [w for w in segment["words"] if w["word"] not in _PUNCTUATION][:8]
+    score = sum(_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def _first_with_words(segments: List[dict]) -> Optional[dict]:
+    return next((s for s in segments if s["words"]), None)
+
+
+def _drop_hallucinated_tail(
+    segments: List[dict],
+    *,
+    threshold: float,
+    time_offset: float,
+    window_end_time: float,
+    segment_duration: float,
+    content_duration: float,
+    content_frames: int,
+    last_speech_timestamp: float,
+) -> Optional[int]:
+    """Find the first hallucination-looking segment bracketed by silence (or
+    by further hallucinations); truncate the list there and return the frame
+    to re-seek to. None = nothing dropped."""
+    prev_speech_end = last_speech_timestamp
+    for index, segment in enumerate(segments):
+        if not segment["words"]:
+            continue
+        if _is_hallucination(segment):
+            following = _first_with_words(segments[index + 1 :])
+            next_speech_start = (
+                following["words"][0]["start"]
+                if following is not None
+                else time_offset + segment_duration
+            )
+            quiet_before = (
+                segment["start"] - prev_speech_end > threshold
+                or segment["start"] < threshold
+                or segment["start"] - time_offset < 2.0
+            )
+            quiet_after = (
+                next_speech_start - segment["end"] > threshold
+                or _is_hallucination(following)
+                or window_end_time - segment["end"] < 2.0
+            )
+            if quiet_before and quiet_after:
+                if content_duration - segment["end"] < threshold:
+                    resume_at = content_frames  # hallucinated coda: stop here
+                else:
+                    resume_at = round(
+                        max(time_offset + 1, segment["start"]) * FRAMES_PER_SECOND
+                    )
+                del segments[index:]
+                return resume_at
+        prev_speech_end = segment["end"]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# clip ranges
+# ---------------------------------------------------------------------------
+
+
+def _parse_clip_ranges(
+    clip_timestamps: Union[str, List[float]], content_frames: int
+) -> List[Tuple[int, int]]:
+    """`"start,end,start2,end2,…"` seconds -> [(start_frame, end_frame), …];
+    an unpaired final start runs to the end of the audio."""
+    if isinstance(clip_timestamps, str):
+        clip_timestamps = (
+            [float(t) for t in clip_timestamps.split(",")] if clip_timestamps else []
+        )
+    edges = [round(t * FRAMES_PER_SECOND) for t in clip_timestamps] or [0]
+    if len(edges) % 2:
+        edges = edges + [content_frames]
+    return list(zip(edges[::2], edges[1::2]))
+
+
+# ---------------------------------------------------------------------------
+# the long-form pipeline
+# ---------------------------------------------------------------------------
 
 
 def transcribe(
@@ -61,24 +293,24 @@ def transcribe(
     """Transcribe an audio file or waveform; returns
     {"text", "segments", "language"} exactly like the reference API."""
     # mel for the whole file plus 30s of trailing silence for the last window
-    mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-    mel = np.asarray(mel)
+    mel = np.asarray(log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES))
     content_frames = mel.shape[-1] - N_FRAMES
     content_duration = float(content_frames * HOP_LENGTH / SAMPLE_RATE)
 
-    if decode_options.get("language", None) is None:
-        if not model.is_multilingual:
-            decode_options["language"] = "en"
-        else:
+    language = decode_options.get("language")
+    if language is None:
+        if model.is_multilingual:
             if verbose:
                 print("Detecting language using up to the first 30 seconds...")
-            mel_segment = pad_or_trim(mel, N_FRAMES, axis=-1)
-            _, probs = model.detect_language(jnp.asarray(mel_segment))
-            decode_options["language"] = max(probs, key=probs.get)
+            head = pad_or_trim(mel, N_FRAMES, axis=-1)
+            _, probs = model.detect_language(jnp.asarray(head))
+            language = max(probs, key=probs.get)
             if verbose is not None:
-                print(f"Detected language: {LANGUAGES[decode_options['language']].title()}")
+                print(f"Detected language: {LANGUAGES[language].title()}")
+        else:
+            language = "en"
+        decode_options["language"] = language
 
-    language: str = decode_options["language"]
     task: str = decode_options.get("task", "transcribe")
     tokenizer = get_tokenizer(
         model.is_multilingual,
@@ -87,316 +319,166 @@ def transcribe(
         task=task,
         include_diseases=model.has_disease_tokens,
     )
-
-    if isinstance(clip_timestamps, str):
-        clip_timestamps = [
-            float(ts) for ts in (clip_timestamps.split(",") if clip_timestamps else [])
-        ]
-    seek_points: List[int] = [round(ts * FRAMES_PER_SECOND) for ts in clip_timestamps]
-    if len(seek_points) == 0:
-        seek_points.append(0)
-    if len(seek_points) % 2 == 1:
-        seek_points.append(content_frames)
-    seek_clips: List[Tuple[int, int]] = list(zip(seek_points[::2], seek_points[1::2]))
-
-    punctuation = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
-
     if word_timestamps and task == "translate":
         warnings.warn("Word-level timestamps on translations may not be reliable.")
 
-    def decode_with_fallback(segment: np.ndarray) -> DecodingResult:
-        """Temperature ladder: retry the window at higher temperature when the
-        output is too repetitive or too improbable (reference :184-224)."""
-        temperatures = (
-            [temperature] if isinstance(temperature, (int, float)) else temperature
-        )
-        decode_result = None
-        for t in temperatures:
-            kwargs = {**decode_options}
-            if t > 0:
-                kwargs.pop("beam_size", None)
-                kwargs.pop("patience", None)
-            else:
-                kwargs.pop("best_of", None)
+    gates = QualityGates(
+        compression_ratio=compression_ratio_threshold,
+        logprob=logprob_threshold,
+        no_speech=no_speech_threshold,
+    )
+    ladder = _as_ladder(temperature)
 
-            options = DecodingOptions(**kwargs, temperature=t)
-            decode_result = model.decode(jnp.asarray(segment), options)
-
-            needs_fallback = False
-            if (
-                compression_ratio_threshold is not None
-                and decode_result.compression_ratio > compression_ratio_threshold
-            ):
-                needs_fallback = True  # too repetitive
-            if (
-                logprob_threshold is not None
-                and decode_result.avg_logprob < logprob_threshold
-            ):
-                needs_fallback = True  # too improbable
-            if (
-                no_speech_threshold is not None
-                and decode_result.no_speech_prob > no_speech_threshold
-                and logprob_threshold is not None
-                and decode_result.avg_logprob < logprob_threshold
-            ):
-                needs_fallback = False  # silence
-            if not needs_fallback:
+    def decode_window(segment: np.ndarray) -> DecodingResult:
+        result = None
+        for t in ladder:
+            result = model.decode(jnp.asarray(segment), options_at_temperature(decode_options, t))
+            if not gates.degenerate(result):
                 break
-        return decode_result
+        return result
 
-    clip_idx = 0
-    seek = seek_clips[clip_idx][0]
     input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)  # mel frames / token: 2
     time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02 s per token
-    all_tokens: List[int] = []
+
+    prompt_budget = model.dims.n_text_ctx // 2 - 1
+    initial_prompt_tokens: List[int] = (
+        tokenizer.encode(" " + initial_prompt.strip()) if initial_prompt is not None else []
+    )
+    prompt_budget -= len(initial_prompt_tokens)
+
+    all_tokens: List[int] = list(initial_prompt_tokens)
     all_segments: List[dict] = []
     prompt_reset_since = 0
+    last_speech_timestamp = 0.0
 
-    remaining_prompt_length = model.dims.n_text_ctx // 2 - 1
-    if initial_prompt is not None:
-        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
-        all_tokens.extend(initial_prompt_tokens)
-        remaining_prompt_length -= len(initial_prompt_tokens)
-    else:
-        initial_prompt_tokens = []
+    progress = tqdm.tqdm(total=content_frames, unit="frames", disable=verbose is not False)
+    with progress:
+        for clip_start, clip_end in _parse_clip_ranges(clip_timestamps, content_frames):
+            seek = clip_start
+            while seek < clip_end:
+                time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
+                window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
+                segment_size = min(N_FRAMES, content_frames - seek, clip_end - seek)
+                segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+                mel_segment = pad_or_trim(
+                    mel[:, seek : seek + segment_size], N_FRAMES, axis=-1
+                ).astype(np.float32)
 
-    def new_segment(*, start: float, end: float, tokens: np.ndarray, result: DecodingResult):
-        tokens = [int(t) for t in tokens]
-        text_tokens = [t for t in tokens if t < tokenizer.eot]
-        return {
-            "seek": seek,
-            "start": start,
-            "end": end,
-            "text": tokenizer.decode(text_tokens),
-            "tokens": tokens,
-            "temperature": result.temperature,
-            "avg_logprob": result.avg_logprob,
-            "compression_ratio": result.compression_ratio,
-            "no_speech_prob": result.no_speech_prob,
-        }
+                if carry_initial_prompt:
+                    carried = all_tokens[max(len(initial_prompt_tokens), prompt_reset_since) :]
+                    decode_options["prompt"] = (
+                        initial_prompt_tokens + carried[-prompt_budget:]
+                    )
+                else:
+                    decode_options["prompt"] = all_tokens[prompt_reset_since:]
 
-    with tqdm.tqdm(
-        total=content_frames, unit="frames", disable=verbose is not False
-    ) as pbar:
-        last_speech_timestamp = 0.0
-        while clip_idx < len(seek_clips):
-            seek_clip_start, seek_clip_end = seek_clips[clip_idx]
-            if seek < seek_clip_start:
-                seek = seek_clip_start
-            if seek >= seek_clip_end:
-                clip_idx += 1
-                if clip_idx < len(seek_clips):
-                    seek = seek_clips[clip_idx][0]
-                continue
-            time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
-            window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
-            segment_size = min(N_FRAMES, content_frames - seek, seek_clip_end - seek)
-            mel_segment = mel[:, seek : seek + segment_size]
-            segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
-            mel_segment = pad_or_trim(mel_segment, N_FRAMES, axis=-1).astype(np.float32)
+                result = decode_window(mel_segment)
 
-            if carry_initial_prompt:
-                nignored = max(len(initial_prompt_tokens), prompt_reset_since)
-                remaining_prompt = all_tokens[nignored:][-remaining_prompt_length:]
-                decode_options["prompt"] = initial_prompt_tokens + remaining_prompt
-            else:
-                decode_options["prompt"] = all_tokens[prompt_reset_since:]
-
-            result: DecodingResult = decode_with_fallback(mel_segment)
-            tokens = np.asarray(result.tokens)
-
-            if no_speech_threshold is not None:
-                # voice-activity gate (reference :298-310)
-                should_skip = result.no_speech_prob > no_speech_threshold
-                if (
-                    logprob_threshold is not None
-                    and result.avg_logprob > logprob_threshold
-                ):
-                    should_skip = False
-                if should_skip:
+                if no_speech_threshold is not None and gates.silent_window(result):
                     seek += segment_size
                     continue
 
-            previous_seek = seek
-            current_segments: List[dict] = []
+                previous_seek = seek
+                tokens = np.asarray(result.tokens)
 
-            # hallucination heuristics (reference :316-334)
-            def word_anomaly_score(word: dict) -> float:
-                probability = word.get("probability", 0.0)
-                duration = word["end"] - word["start"]
-                score = 0.0
-                if probability < 0.15:
-                    score += 1.0
-                if duration < 0.133:
-                    score += (0.133 - duration) * 15
-                if duration > 2.0:
-                    score += duration - 2.0
-                return score
+                def make(start, end, tokens):
+                    return _build_segment(
+                        tokenizer, seek=previous_seek, start=start, end=end,
+                        tokens=tokens, result=result,
+                    )
 
-            def is_segment_anomaly(segment: Optional[dict]) -> bool:
-                if segment is None or not segment["words"]:
-                    return False
-                words = [w for w in segment["words"] if w["word"] not in punctuation]
-                words = words[:8]
-                score = sum(word_anomaly_score(w) for w in words)
-                return score >= 3 or score + 0.01 >= len(words)
+                current_segments, advance, single_ending = _cut_segments(
+                    tokens,
+                    tokenizer,
+                    time_offset=time_offset,
+                    time_precision=time_precision,
+                    segment_duration=segment_duration,
+                    segment_size=segment_size,
+                    input_stride=input_stride,
+                    make=make,
+                )
+                seek += advance
 
-            def next_words_segment(segments: List[dict]) -> Optional[dict]:
-                return next((s for s in segments if s["words"]), None)
+                if word_timestamps:
+                    from .timing import add_word_timestamps
 
-            timestamp_tokens = tokens >= tokenizer.timestamp_begin
-            single_timestamp_ending = (
-                len(timestamp_tokens) >= 2
-                and timestamp_tokens[-2:].tolist() == [False, True]
-            )
+                    add_word_timestamps(
+                        segments=current_segments,
+                        model=model,
+                        tokenizer=tokenizer,
+                        mel=mel_segment,
+                        num_frames=segment_size,
+                        prepend_punctuations=prepend_punctuations,
+                        append_punctuations=append_punctuations,
+                        last_speech_timestamp=last_speech_timestamp,
+                    )
 
-            consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
-            if len(consecutive) > 0:
-                # split on consecutive timestamp pairs (reference :342-377)
-                slices = consecutive.tolist()
-                if single_timestamp_ending:
-                    slices.append(len(tokens))
+                    if not single_ending:
+                        spoken_until = get_end(current_segments)
+                        if spoken_until is not None and spoken_until > time_offset:
+                            # resume right after the last timed word
+                            seek = round(spoken_until * FRAMES_PER_SECOND)
 
-                last_slice = 0
-                for current_slice in slices:
-                    sliced_tokens = tokens[last_slice:current_slice]
-                    start_timestamp_pos = int(sliced_tokens[0]) - tokenizer.timestamp_begin
-                    end_timestamp_pos = int(sliced_tokens[-1]) - tokenizer.timestamp_begin
-                    current_segments.append(
-                        new_segment(
-                            start=time_offset + start_timestamp_pos * time_precision,
-                            end=time_offset + end_timestamp_pos * time_precision,
-                            tokens=sliced_tokens,
-                            result=result,
+                    if hallucination_silence_threshold is not None:
+                        threshold = hallucination_silence_threshold
+                        if not single_ending:
+                            spoken_until = get_end(current_segments)
+                            if spoken_until is not None and spoken_until > time_offset:
+                                if window_end_time - spoken_until > threshold:
+                                    seek = round(spoken_until * FRAMES_PER_SECOND)
+                                else:
+                                    seek = previous_seek + segment_size
+
+                        # a hallucination-like opener after leading silence:
+                        # re-decode from where the speech actually starts
+                        leading = _first_with_words(current_segments)
+                        if leading is not None and _is_hallucination(leading):
+                            gap = leading["start"] - time_offset
+                            if gap > threshold:
+                                seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                                continue
+
+                        resume_at = _drop_hallucinated_tail(
+                            current_segments,
+                            threshold=threshold,
+                            time_offset=time_offset,
+                            window_end_time=window_end_time,
+                            segment_duration=segment_duration,
+                            content_duration=content_duration,
+                            content_frames=content_frames,
+                            last_speech_timestamp=last_speech_timestamp,
                         )
-                    )
-                    last_slice = current_slice
+                        if resume_at is not None:
+                            seek = resume_at
 
-                if single_timestamp_ending:
-                    # no speech after the last timestamp: advance a full window
-                    seek += segment_size
-                else:
-                    # continue from the last closed timestamp
-                    last_timestamp_pos = int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
-                    seek += last_timestamp_pos * input_stride
-            else:
-                duration = segment_duration
-                timestamps = tokens[np.nonzero(timestamp_tokens)[0]]
-                if len(timestamps) > 0 and int(timestamps[-1]) != tokenizer.timestamp_begin:
-                    last_timestamp_pos = int(timestamps[-1]) - tokenizer.timestamp_begin
-                    duration = last_timestamp_pos * time_precision
+                    spoken_until = get_end(current_segments)
+                    if spoken_until is not None:
+                        last_speech_timestamp = spoken_until
 
-                current_segments.append(
-                    new_segment(
-                        start=time_offset,
-                        end=time_offset + duration,
-                        tokens=tokens,
-                        result=result,
-                    )
-                )
-                seek += segment_size
+                if verbose:
+                    for segment in current_segments:
+                        line = (
+                            f"[{format_timestamp(segment['start'])} --> "
+                            f"{format_timestamp(segment['end'])}] {segment['text']}"
+                        )
+                        print(make_safe(line))
 
-            if word_timestamps:
-                from .timing import add_word_timestamps
-
-                add_word_timestamps(
-                    segments=current_segments,
-                    model=model,
-                    tokenizer=tokenizer,
-                    mel=mel_segment,
-                    num_frames=segment_size,
-                    prepend_punctuations=prepend_punctuations,
-                    append_punctuations=append_punctuations,
-                    last_speech_timestamp=last_speech_timestamp,
-                )
-
-                if not single_timestamp_ending:
-                    last_word_end = get_end(current_segments)
-                    if last_word_end is not None and last_word_end > time_offset:
-                        seek = round(last_word_end * FRAMES_PER_SECOND)
-
-                # skip silence before possible hallucinations (reference :418-472)
-                if hallucination_silence_threshold is not None:
-                    threshold = hallucination_silence_threshold
-                    if not single_timestamp_ending:
-                        last_word_end = get_end(current_segments)
-                        if last_word_end is not None and last_word_end > time_offset:
-                            remaining_duration = window_end_time - last_word_end
-                            if remaining_duration > threshold:
-                                seek = round(last_word_end * FRAMES_PER_SECOND)
-                            else:
-                                seek = previous_seek + segment_size
-
-                    first_segment = next_words_segment(current_segments)
-                    if first_segment is not None and is_segment_anomaly(first_segment):
-                        gap = first_segment["start"] - time_offset
-                        if gap > threshold:
-                            seek = previous_seek + round(gap * FRAMES_PER_SECOND)
-                            continue
-
-                    hal_last_end = last_speech_timestamp
-                    for si in range(len(current_segments)):
-                        segment = current_segments[si]
-                        if not segment["words"]:
-                            continue
-                        if is_segment_anomaly(segment):
-                            next_segment = next_words_segment(current_segments[si + 1 :])
-                            if next_segment is not None:
-                                hal_next_start = next_segment["words"][0]["start"]
-                            else:
-                                hal_next_start = time_offset + segment_duration
-                            silence_before = (
-                                segment["start"] - hal_last_end > threshold
-                                or segment["start"] < threshold
-                                or segment["start"] - time_offset < 2.0
-                            )
-                            silence_after = (
-                                hal_next_start - segment["end"] > threshold
-                                or is_segment_anomaly(next_segment)
-                                or window_end_time - segment["end"] < 2.0
-                            )
-                            if silence_before and silence_after:
-                                seek = round(
-                                    max(time_offset + 1, segment["start"]) * FRAMES_PER_SECOND
-                                )
-                                if content_duration - segment["end"] < threshold:
-                                    seek = content_frames
-                                current_segments[si:] = []
-                                break
-                        hal_last_end = segment["end"]
-
-                last_word_end = get_end(current_segments)
-                if last_word_end is not None:
-                    last_speech_timestamp = last_word_end
-
-            if verbose:
+                # blank out instantaneous / textless segments
                 for segment in current_segments:
-                    start, end, text = segment["start"], segment["end"], segment["text"]
-                    line = f"[{format_timestamp(start)} --> {format_timestamp(end)}] {text}"
-                    print(make_safe(line))
+                    if segment["start"] == segment["end"] or not segment["text"].strip():
+                        segment["text"] = ""
+                        segment["tokens"] = []
+                        segment["words"] = []
 
-            # drop instantaneous / empty segments (reference :484-489)
-            for _i, segment in enumerate(current_segments):
-                if segment["start"] == segment["end"] or segment["text"].strip() == "":
-                    segment["text"] = ""
-                    segment["tokens"] = []
-                    segment["words"] = []
+                for segment in current_segments:
+                    all_segments.append({"id": len(all_segments), **segment})
+                    all_tokens.extend(segment["tokens"])
 
-            all_segments.extend(
-                [
-                    {"id": i, **segment}
-                    for i, segment in enumerate(current_segments, start=len(all_segments))
-                ]
-            )
-            all_tokens.extend(
-                [token for segment in current_segments for token in segment["tokens"]]
-            )
+                if not condition_on_previous_text or result.temperature > 0.5:
+                    # hot decodes make unreliable prompts
+                    prompt_reset_since = len(all_tokens)
 
-            if not condition_on_previous_text or result.temperature > 0.5:
-                # hot decodes make unreliable prompts (reference :503-505)
-                prompt_reset_since = len(all_tokens)
-
-            pbar.update(min(content_frames, seek) - previous_seek)
+                progress.update(min(content_frames, seek) - previous_seek)
 
     return dict(
         text=tokenizer.decode(all_tokens[len(initial_prompt_tokens) :]),
@@ -449,7 +531,7 @@ def transcribe_batch(
             language = max(probs, key=probs.get)
         else:
             language = "en"
-    # same beam/best_of disambiguation as decode_with_fallback: greedy/beam
+    # same beam/best_of disambiguation as the sequential ladder: greedy/beam
     # at t==0, sampling candidates at t>0 (reference transcribe.py:192-197)
     if (decode_options.get("temperature") or 0) > 0:
         decode_options.pop("beam_size", None)
