@@ -19,7 +19,7 @@ from __future__ import annotations
 import itertools
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import TYPE_CHECKING, List
+from typing import TYPE_CHECKING, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,23 +147,26 @@ def find_alignment(
         # a single EOT "word" produces empty float indices downstream
         # (reference timing.py:219-225)
         return []
-    word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
 
-    jumps = np.pad(np.diff(text_indices), (1, 0), constant_values=1).astype(bool)
-    jump_times = time_indices[jumps] / TOKENS_PER_SECOND
-    start_times = jump_times[word_boundaries[:-1]]
-    end_times = jump_times[word_boundaries[1:]]
-    word_probabilities = [
-        np.mean(text_token_probs[i:j])
-        for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
-    ]
+    # first DTW frame of each text token, then word extents from the token
+    # count prefix sums ([0, c0, c0+c1, ...]; the EOT pseudo-word closes the
+    # last real word)
+    entered_token = np.diff(text_indices, prepend=-1).astype(bool)
+    token_start_times = time_indices[entered_token] / TOKENS_PER_SECOND
+    edges = np.concatenate([[0], np.cumsum([len(t) for t in word_tokens[:-1]])])
 
-    return [
-        WordTiming(word, tokens_, start, end, probability)
-        for word, tokens_, start, end, probability in zip(
-            words, word_tokens, start_times, end_times, word_probabilities
+    timings = []
+    for word, tokens_, lo, hi in zip(words, word_tokens, edges[:-1], edges[1:]):
+        timings.append(
+            WordTiming(
+                word,
+                tokens_,
+                start=token_start_times[lo],
+                end=token_start_times[hi],
+                probability=float(np.mean(text_token_probs[lo:hi])),
+            )
         )
-    ]
+    return timings
 
 
 def _softmax_np(x: np.ndarray) -> np.ndarray:
@@ -172,37 +175,128 @@ def _softmax_np(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
-    """Reference timing.py:245-276."""
-    # merge prepended punctuations
-    i = len(alignment) - 2
-    j = len(alignment) - 1
-    while i >= 0:
-        previous = alignment[i]
-        following = alignment[j]
-        if previous.word.startswith(" ") and previous.word.strip() in prepended:
-            following.word = previous.word + following.word
-            following.tokens = previous.tokens + following.tokens
-            previous.word = ""
-            previous.tokens = []
+def _absorb_opening_punct(alignment: List[WordTiming], marks: str) -> None:
+    """Right-to-left sweep: a floating opening mark (a word like ' "' whose
+    stripped text appears in ``marks``) glues onto the word after it. Chains
+    of marks accumulate onto the same anchor; emptied entries stay in place
+    so token accounting per segment is undisturbed."""
+    anchor: Optional[WordTiming] = None
+    for entry in reversed(alignment):
+        is_mark = entry.word.startswith(" ") and entry.word.strip() in marks
+        if anchor is not None and is_mark:
+            anchor.word = entry.word + anchor.word
+            anchor.tokens = entry.tokens + anchor.tokens
+            entry.word, entry.tokens = "", []
         else:
-            j = i
-        i -= 1
+            anchor = entry
 
-    # merge appended punctuations
-    i = 0
-    j = 1
-    while j < len(alignment):
-        previous = alignment[i]
-        following = alignment[j]
-        if not previous.word.endswith(" ") and following.word in appended:
-            previous.word = previous.word + following.word
-            previous.tokens = previous.tokens + following.tokens
-            following.word = ""
-            following.tokens = []
+
+def _absorb_closing_punct(alignment: List[WordTiming], marks: str) -> None:
+    """Left-to-right sweep: a closing mark glues onto the word before it,
+    unless that word already ends with a space (i.e. the mark starts its own
+    word)."""
+    anchor: Optional[WordTiming] = None
+    for entry in alignment:
+        if anchor is not None and entry.word in marks and not anchor.word.endswith(" "):
+            anchor.word = anchor.word + entry.word
+            anchor.tokens = anchor.tokens + entry.tokens
+            entry.word, entry.tokens = "", []
         else:
-            i = j
-        j += 1
+            anchor = entry
+
+
+def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
+    """Reference timing.py:245-276 semantics, as two anchor-scan passes."""
+    _absorb_opening_punct(alignment, prepended)
+    _absorb_closing_punct(alignment, appended)
+
+
+_SENTENCE_ENDS = ".。!！?？"
+
+
+def _typical_duration(alignment: List[WordTiming]) -> Tuple[float, float, bool]:
+    """(median word duration capped at 0.7 s, 2x ceiling, any-nonzero flag)."""
+    spans = [t.end - t.start for t in alignment if t.end - t.start != 0.0]
+    if not spans:
+        return 0.0, 0.0, False
+    median = min(0.7, float(np.median(spans)))
+    return median, median * 2, True
+
+
+def _shorten_stretched_sentence_ends(alignment: List[WordTiming], ceiling: float) -> None:
+    """An overlong word at a sentence boundary usually swallowed silence:
+    clip a trailing period to its start side, and a word right after one to
+    its end side."""
+    for before, entry in zip(alignment, alignment[1:]):
+        if entry.end - entry.start <= ceiling:
+            continue
+        if entry.word in _SENTENCE_ENDS:
+            entry.end = entry.start + ceiling
+        elif before.word in _SENTENCE_ENDS:
+            entry.start = entry.end - ceiling
+
+
+def _pop_segment_words(
+    alignment: List[WordTiming], cursor: int, token_budget: int, time_offset: float
+) -> Tuple[List[dict], int]:
+    """Consume alignment entries covering ``token_budget`` text tokens;
+    emptied (merged-away) entries spend their token count but emit nothing."""
+    words: List[dict] = []
+    spent = 0
+    while cursor < len(alignment) and spent < token_budget:
+        entry = alignment[cursor]
+        if entry.word:
+            words.append(
+                dict(
+                    word=entry.word,
+                    start=round(time_offset + entry.start, 2),
+                    end=round(time_offset + entry.end, 2),
+                    probability=entry.probability,
+                )
+            )
+        spent += len(entry.tokens)
+        cursor += 1
+    return words, cursor
+
+
+def _snap_segment_edges(
+    segment: dict,
+    words: List[dict],
+    *,
+    median: float,
+    ceiling: float,
+    last_speech_timestamp: float,
+) -> float:
+    """Reconcile word-level and segment-level timestamps at the edges
+    (reference timing.py:340-374); returns the updated speech high-water
+    mark."""
+    first, last = words[0], words[-1]
+
+    # a first word stranded long after the previous speech, stretched well
+    # past the ceiling, is an alignment artifact: pull its start in
+    stranded = first["end"] - last_speech_timestamp > median * 4
+    stretched = first["end"] - first["start"] > ceiling or (
+        len(words) > 1 and words[1]["end"] - first["start"] > ceiling * 2
+    )
+    if stranded and stretched:
+        if len(words) > 1 and words[1]["end"] - words[1]["start"] > ceiling:
+            boundary = max(words[1]["end"] / 2, words[1]["end"] - ceiling)
+            first["end"] = words[1]["start"] = boundary
+        first["start"] = max(0, first["end"] - ceiling)
+
+    # prefer the segment-level timestamp when the edge word reaches too far
+    # outside the segment; otherwise let the word define the segment edge
+    if segment["start"] < first["end"] and segment["start"] - 0.5 > first["start"]:
+        first["start"] = max(0, min(first["end"] - median, segment["start"]))
+    else:
+        segment["start"] = first["start"]
+
+    if segment["end"] > last["start"] and segment["end"] + 0.5 < last["end"]:
+        last["end"] = max(last["start"] + median, segment["end"])
+    else:
+        segment["end"] = last["end"]
+
+    return segment["end"]
 
 
 def add_word_timestamps(
@@ -217,82 +311,32 @@ def add_word_timestamps(
     last_speech_timestamp: float,
     **kwargs,
 ):
-    """Reference timing.py:279-388."""
+    """Reference timing.py:279-388 semantics."""
     if len(segments) == 0:
         return
 
-    text_tokens_per_segment = [
+    tokens_per_segment = [
         [token for token in segment["tokens"] if token < tokenizer.eot]
         for segment in segments
     ]
-    text_tokens = list(itertools.chain.from_iterable(text_tokens_per_segment))
-    alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames, **kwargs)
-    word_durations = np.array([t.end - t.start for t in alignment])
-    word_durations = word_durations[word_durations.nonzero()]
-    median_duration = np.median(word_durations) if len(word_durations) > 0 else 0.0
-    median_duration = min(0.7, float(median_duration))
-    max_duration = median_duration * 2
+    all_text_tokens = list(itertools.chain.from_iterable(tokens_per_segment))
+    alignment = find_alignment(model, tokenizer, all_text_tokens, mel, num_frames, **kwargs)
 
-    # truncate long words at sentence boundaries (reference heuristic)
-    if len(word_durations) > 0:
-        sentence_end_marks = ".。!！?？"
-        for i in range(1, len(alignment)):
-            if alignment[i].end - alignment[i].start > max_duration:
-                if alignment[i].word in sentence_end_marks:
-                    alignment[i].end = alignment[i].start + max_duration
-                elif alignment[i - 1].word in sentence_end_marks:
-                    alignment[i].start = alignment[i].end - max_duration
-
+    median, ceiling, have_spans = _typical_duration(alignment)
+    if have_spans:
+        _shorten_stretched_sentence_ends(alignment, ceiling)
     merge_punctuations(alignment, prepend_punctuations, append_punctuations)
 
     time_offset = segments[0]["seek"] * HOP_LENGTH / SAMPLE_RATE
-    word_index = 0
-
-    for segment, seg_text_tokens in zip(segments, text_tokens_per_segment):
-        saved_tokens = 0
-        words = []
-
-        while word_index < len(alignment) and saved_tokens < len(seg_text_tokens):
-            timing = alignment[word_index]
-            if timing.word:
-                words.append(
-                    dict(
-                        word=timing.word,
-                        start=round(time_offset + timing.start, 2),
-                        end=round(time_offset + timing.end, 2),
-                        probability=timing.probability,
-                    )
-                )
-            saved_tokens += len(timing.tokens)
-            word_index += 1
-
-        # truncate long words at segment boundaries (reference heuristic)
-        if len(words) > 0:
-            if words[0]["end"] - last_speech_timestamp > median_duration * 4 and (
-                words[0]["end"] - words[0]["start"] > max_duration
-                or (
-                    len(words) > 1
-                    and words[1]["end"] - words[0]["start"] > max_duration * 2
-                )
-            ):
-                if len(words) > 1 and words[1]["end"] - words[1]["start"] > max_duration:
-                    boundary = max(words[1]["end"] / 2, words[1]["end"] - max_duration)
-                    words[0]["end"] = words[1]["start"] = boundary
-                words[0]["start"] = max(0, words[0]["end"] - max_duration)
-
-            # prefer segment-level timestamps when the edge words are too long
-            if segment["start"] < words[0]["end"] and segment["start"] - 0.5 > words[0]["start"]:
-                words[0]["start"] = max(
-                    0, min(words[0]["end"] - median_duration, segment["start"])
-                )
-            else:
-                segment["start"] = words[0]["start"]
-
-            if segment["end"] > words[-1]["start"] and segment["end"] + 0.5 < words[-1]["end"]:
-                words[-1]["end"] = max(words[-1]["start"] + median_duration, segment["end"])
-            else:
-                segment["end"] = words[-1]["end"]
-
-            last_speech_timestamp = segment["end"]
-
+    cursor = 0
+    for segment, seg_tokens in zip(segments, tokens_per_segment):
+        words, cursor = _pop_segment_words(alignment, cursor, len(seg_tokens), time_offset)
+        if words:
+            last_speech_timestamp = _snap_segment_edges(
+                segment,
+                words,
+                median=median,
+                ceiling=ceiling,
+                last_speech_timestamp=last_speech_timestamp,
+            )
         segment["words"] = words

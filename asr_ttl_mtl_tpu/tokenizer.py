@@ -327,38 +327,49 @@ class Tokenizer:
         return self.split_tokens_on_spaces(tokens)
 
     def split_tokens_on_unicode(self, tokens: List[int]):
-        decoded_full = self.decode_with_timestamps(tokens)
-        replacement_char = "�"
+        """Group tokens at codepoint-complete boundaries.
 
-        words, word_tokens, current_tokens = [], [], []
-        unicode_offset = 0
+        BPE tokens can split a multi-byte codepoint, in which case the partial
+        decode shows a U+FFFD placeholder. A group of tokens closes once its
+        decode carries no placeholder — or carries one that the decode of the
+        WHOLE sequence also has at that exact position (i.e. a genuine U+FFFD
+        in the text rather than a split-codepoint artifact).
+        """
+        full_text = self.decode_with_timestamps(tokens)
+        texts: List[str] = []
+        groups: List[List[int]] = []
+        pending: List[int] = []
+        covered = 0  # codepoints of full_text covered by closed groups
         for token in tokens:
-            current_tokens.append(token)
-            decoded = self.decode_with_timestamps(current_tokens)
-            if (
-                replacement_char not in decoded
-                or decoded_full[unicode_offset + decoded.index(replacement_char)]
-                == replacement_char
-            ):
-                words.append(decoded)
-                word_tokens.append(current_tokens)
-                current_tokens = []
-                unicode_offset += len(decoded)
-        return words, word_tokens
+            pending.append(token)
+            text = self.decode_with_timestamps(pending)
+            cut = text.find("�")
+            if cut < 0 or full_text[covered + cut] == "�":
+                texts.append(text)
+                groups.append(pending)
+                covered += len(text)
+                pending = []
+        return texts, groups
 
     def split_tokens_on_spaces(self, tokens: List[int]):
-        subwords, subword_tokens_list = self.split_tokens_on_unicode(tokens)
-        words, word_tokens = [], []
-        for subword, subword_tokens in zip(subwords, subword_tokens_list):
-            special = subword_tokens[0] >= self.eot
-            with_space = subword.startswith(" ")
-            punctuation = subword.strip() in string.punctuation
-            if special or with_space or punctuation or len(words) == 0:
-                words.append(subword)
-                word_tokens.append(subword_tokens)
+        """Merge codepoint groups into words: a group opens a new word when it
+        is a special token, begins with a space, or is bare punctuation;
+        anything else extends the word before it."""
+        words: List[str] = []
+        word_tokens: List[List[int]] = []
+        for piece, piece_tokens in zip(*self.split_tokens_on_unicode(tokens)):
+            opens_word = (
+                not words
+                or piece_tokens[0] >= self.eot
+                or piece.startswith(" ")
+                or piece.strip() in string.punctuation
+            )
+            if opens_word:
+                words.append(piece)
+                word_tokens.append(piece_tokens)
             else:
-                words[-1] = words[-1] + subword
-                word_tokens[-1].extend(subword_tokens)
+                words[-1] += piece
+                word_tokens[-1].extend(piece_tokens)
         return words, word_tokens
 
 
