@@ -95,13 +95,15 @@ def cli():
     else:
         temperature = [temperature]
 
-    if (threads := args.pop("threads")) > 0:
+    if (threads := args.pop("threads") or 0) > 0:
         # host-side CPU thread budget (the reference maps this to
-        # torch.set_num_threads, transcribe.py:590-591); must be set before
-        # the first jax/XLA CPU-client init to take effect
+        # torch.set_num_threads, transcribe.py:590-591). __main__.py pre-scans
+        # the flag and sets these BEFORE the first jax/XLA import; this repeat
+        # only covers direct cli() callers, where jax may already be live.
         os.environ["OMP_NUM_THREADS"] = str(threads)
         os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "") + f" --xla_cpu_multi_thread_eigen={threads > 1}"
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_cpu_multi_thread_eigen={str(threads > 1).lower()}"
         ).strip()
 
     if device is not None:
@@ -126,43 +128,59 @@ def cli():
 
     audio_paths = args.pop("audio")
     if args.pop("batch_mode"):
-        # options the independent-window batch path cannot honor must fail
-        # loudly instead of silently vanishing
-        for unsupported in ("word_timestamps", "initial_prompt",
-                            "hallucination_silence_threshold"):
-            if args.get(unsupported):
-                parser.error(f"--{unsupported} is not supported with --batch_mode")
-        if args.get("clip_timestamps", "0") != "0":
-            parser.error("--clip_timestamps is not supported with --batch_mode")
-        if len(temperature) > 1:
-            warnings.warn(
-                "--batch_mode decodes each window once (no decode-quality "
-                "fallback ladder); using the base temperature only"
+        # throughput mode: every 30 s window of every file decoded in
+        # device-wide batches with the per-window fallback ladder (see
+        # transcribe_batch). TPU-native addition — the reference CLI only
+        # loops files sequentially.
+        #
+        # Option routing is derived from transcribe_batch's signature plus
+        # DecodingOptions' fields, so a newly added option is either routed
+        # automatically or fails loudly here — never silently dropped.
+        import inspect
+
+        from .decoding import DecodingOptions
+
+        supported = (
+            set(inspect.signature(transcribe_batch).parameters)
+            | set(DecodingOptions.__dataclass_fields__)
+        ) - {"model", "audios", "batch_size", "mesh", "decode_options", "temperature"}
+        # sequential-only options the independent-window semantics cannot
+        # honor, each with its reason:
+        dropped = {
+            # per-segment streaming prints are inherently sequential
+            "verbose",
+            # windows are decoded independently (always condition=False)
+            "condition_on_previous_text",
+            # initial_prompt already conditions every window in batch mode
+            "carry_initial_prompt",
+        }
+        if args.get("hallucination_silence_threshold") is not None:
+            parser.error(
+                "--hallucination_silence_threshold needs the sequential "
+                "adaptive seek loop; not supported with --batch_mode"
             )
+        args.pop("hallucination_silence_threshold", None)
         mesh = None
         if (dp := args.pop("dp")) is not None:
             from .parallel.mesh import create_mesh
 
             mesh = create_mesh((dp, 1))
-        # throughput mode: every 30 s window of every file decoded in
-        # device-wide batches (no cross-window prompt conditioning; see
-        # transcribe_batch). TPU-native addition — the reference CLI only
-        # loops files sequentially.
-        batch_args = {
-            k: v for k, v in args.items()
-            if k not in (
-                "verbose", "compression_ratio_threshold", "logprob_threshold",
-                "no_speech_threshold", "condition_on_previous_text",
-                "word_timestamps", "initial_prompt", "carry_initial_prompt",
-                "prepend_punctuations", "append_punctuations",
-                "clip_timestamps", "hallucination_silence_threshold",
+        batch_args, unroutable = {}, []
+        for key, value in args.items():
+            if key in supported:
+                batch_args[key] = value
+            elif key not in dropped:
+                unroutable.append(key)
+        if unroutable:
+            parser.error(
+                f"option(s) {unroutable} are not routable to --batch_mode: "
+                "add them to transcribe_batch's signature or to the CLI's "
+                "dropped table"
             )
-        }
         try:
             results = transcribe_batch(
                 model, list(audio_paths), mesh=mesh,
-                temperature=temperature[0] if len(temperature) else 0.0,
-                **batch_args,
+                temperature=tuple(temperature), **batch_args,
             )
             for audio_path, result in zip(audio_paths, results):
                 writer(result, audio_path, **writer_args)

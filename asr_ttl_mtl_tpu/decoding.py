@@ -738,7 +738,9 @@ class DecodingTask:
             # backend contention / OOM / remote-compile errors must propagate
             # without permanently degrading the whole process to XLA paths
             msg = f"{type(e).__name__}: {e}"
-            kernel_markers = ("mosaic", "pallas", "tpu_custom_call", "custom_call")
+            # 'custom_call' alone is too generic (appears in unrelated XLA
+            # runtime errors); require a Mosaic/Pallas-specific marker
+            kernel_markers = ("mosaic", "pallas", "tpu_custom_call")
             if not any(m in msg.lower() for m in kernel_markers):
                 raise
             import warnings

@@ -316,7 +316,7 @@ def precompute_cross_kv(
 def _dequant_cross_layer(cross_kv: Params, li: int, dtype, valid_len: int) -> tuple:
     """Per-layer K/V in float for the einsum/prefill paths — same rounded
     values the int8 kernel consumes, so prefill and steps agree. The int8
-    store pads T to a multiple of 32 (quantize_kv_rows); slice it back."""
+    store pads T to a multiple of 128 (quantize_kv_rows); slice it back."""
     if "k_scale" in cross_kv:
         k = (cross_kv["k"][li].astype(_F32) * cross_kv["k_scale"][li][..., None]).astype(dtype)
         v = (cross_kv["v"][li].astype(_F32) * cross_kv["v_scale"][li][..., None]).astype(dtype)

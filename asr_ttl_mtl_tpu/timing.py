@@ -142,7 +142,20 @@ def find_alignment(
         -matrix, use_device=jax.default_backend() == "tpu"
     )
 
-    words, word_tokens = tokenizer.split_to_word_tokens(list(text_tokens) + [tokenizer.eot])
+    return _word_timings_from_path(
+        tokenizer, list(text_tokens), text_indices, time_indices, text_token_probs
+    )
+
+
+def _word_timings_from_path(
+    tokenizer: Tokenizer,
+    text_tokens: List[int],
+    text_indices: np.ndarray,
+    time_indices: np.ndarray,
+    text_token_probs: List[float],
+) -> List[WordTiming]:
+    """DTW path -> per-word extents."""
+    words, word_tokens = tokenizer.split_to_word_tokens(text_tokens + [tokenizer.eot])
     if len(word_tokens) <= 1:
         # a single EOT "word" produces empty float indices downstream
         # (reference timing.py:219-225)
@@ -167,6 +180,117 @@ def find_alignment(
             )
         )
     return timings
+
+
+_TOKEN_BUCKETS = (64, 128, 192, 256, 320, 384, 448)
+
+
+@lru_cache(maxsize=16)
+def _build_alignment_forward_batch(
+    dims, head_pairs, compute_dtype_name: str, bucket_len: int, eot: int
+):
+    """Jitted batched teacher-forced alignment forward: B window mels +
+    padded token rows -> (softmaxed alignment-head attention, per-position
+    probability of the teacher-forced next token). The cheap per-row
+    normalize/median/DTW stages run on host with exact per-row lengths."""
+    from .models import whisper as W
+
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    layers = np.asarray([p[0] for p in head_pairs])
+    heads = np.asarray([p[1] for p in head_pairs])
+
+    def run(params, mels, tokens, frame_lens, qk_scale):
+        feats = W.encoder_apply(params, dims, mels, compute_dtype)
+        logits, _, cross_qk = W.decoder_apply(
+            params, dims, tokens, feats, compute_dtype=compute_dtype,
+            return_cross_qk=True,
+        )
+        # cross_qk: (L, B, H, T_text, T_audio) fp32 pre-softmax; the paired
+        # advanced indices land the selected-head axis first -> (n_sel, B, Tt, Ta)
+        weights = cross_qk[layers, :, heads]
+        frame_ok = jnp.arange(weights.shape[-1])[None, :] < frame_lens[:, None]
+        weights = jnp.where(
+            frame_ok[None, :, None, :], weights * qk_scale, -jnp.inf
+        )
+        weights = jax.nn.softmax(weights, axis=-1)
+
+        # probability each position assigns its teacher-forced next token,
+        # normalized over the text vocabulary only (as the single-window path
+        # does with logits[:, :eot])
+        probs = jax.nn.softmax(logits.astype(jnp.float32)[..., :eot], axis=-1)
+        next_ids = jnp.roll(tokens, -1, axis=1)  # last column is junk
+        picked = jnp.take_along_axis(
+            probs, jnp.minimum(next_ids, eot - 1)[..., None], axis=-1
+        )[..., 0]
+        return weights, picked
+
+    return jax.jit(run)
+
+
+def find_alignment_batch(
+    model: "WhisperModel",
+    tokenizer: Tokenizer,
+    token_lists: List[List[int]],
+    mels: np.ndarray,
+    num_frames_list: List[int],
+    *,
+    medfilt_width: int = 7,
+    qk_scale: float = 1.0,
+) -> List[List[WordTiming]]:
+    """Batched :func:`find_alignment` over many 30 s windows at once.
+
+    The teacher-forced encoder+decoder forward — the expensive part — runs as
+    ONE device program over the whole window batch (token rows padded to a
+    static bucket); the per-row standardize/median-filter/DTW stages run on
+    host with each row's exact lengths, so every row's result is identical to
+    a single-window :func:`find_alignment` call on the numpy path.
+    """
+    sot_len = len(tokenizer.sot_sequence)
+    rows = [
+        [*tokenizer.sot_sequence, tokenizer.no_timestamps, *txt, tokenizer.eot]
+        for txt in token_lists
+    ]
+    out: List[List[WordTiming]] = [[] for _ in token_lists]
+    live = [i for i, txt in enumerate(token_lists) if len(txt) > 0]
+    if not live:
+        return out
+
+    longest = max(len(rows[i]) for i in live)
+    bucket = next((b for b in _TOKEN_BUCKETS if b >= longest), longest)
+    tokens = np.full((len(live), bucket), tokenizer.eot, np.int32)
+    for r, i in enumerate(live):
+        tokens[r, : len(rows[i])] = rows[i]
+
+    head_pairs = tuple((int(l), int(h)) for l, h in np.argwhere(model.alignment_heads))
+    fwd = _build_alignment_forward_batch(
+        model.dims, head_pairs, jnp.dtype(model.compute_dtype).name, bucket,
+        tokenizer.eot,
+    )
+    mels = np.asarray(mels)
+    weights, picked = fwd(
+        model.params,
+        jnp.asarray(mels[live]),
+        jnp.asarray(tokens),
+        jnp.asarray([num_frames_list[i] // 2 for i in live], jnp.int32),
+        jnp.asarray(qk_scale, jnp.float32),
+    )
+    weights = np.asarray(weights, dtype=np.float64)
+    picked = np.asarray(picked)
+
+    for r, i in enumerate(live):
+        n_row = len(rows[i])
+        n_frames = num_frames_list[i] // 2
+        w = weights[:, r, :n_row, :n_frames]
+        mean = w.mean(axis=-2, keepdims=True)
+        std = w.std(axis=-2, keepdims=True)
+        w = median_filter((w - mean) / std, medfilt_width)
+        matrix = w.mean(axis=0)[sot_len:-1]
+        text_indices, time_indices = dtw(-matrix)
+        token_probs = picked[r, sot_len : sot_len + len(token_lists[i])].tolist()
+        out[i] = _word_timings_from_path(
+            tokenizer, list(token_lists[i]), text_indices, time_indices, token_probs
+        )
+    return out
 
 
 def _softmax_np(x: np.ndarray) -> np.ndarray:
@@ -309,9 +433,14 @@ def add_word_timestamps(
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     last_speech_timestamp: float,
+    alignment: Optional[List[WordTiming]] = None,
     **kwargs,
 ):
-    """Reference timing.py:279-388 semantics."""
+    """Reference timing.py:279-388 semantics.
+
+    ``alignment`` short-circuits the per-window forward with a precomputed
+    one (the batched path aligns many windows in one device program via
+    :func:`find_alignment_batch` and applies the heuristics per window)."""
     if len(segments) == 0:
         return
 
@@ -319,8 +448,9 @@ def add_word_timestamps(
         [token for token in segment["tokens"] if token < tokenizer.eot]
         for segment in segments
     ]
-    all_text_tokens = list(itertools.chain.from_iterable(tokens_per_segment))
-    alignment = find_alignment(model, tokenizer, all_text_tokens, mel, num_frames, **kwargs)
+    if alignment is None:
+        all_text_tokens = list(itertools.chain.from_iterable(tokens_per_segment))
+        alignment = find_alignment(model, tokenizer, all_text_tokens, mel, num_frames, **kwargs)
 
     median, ceiling, have_spans = _typical_duration(alignment)
     if have_spans:

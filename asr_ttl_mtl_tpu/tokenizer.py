@@ -273,12 +273,15 @@ class Tokenizer:
 
     @cached_property
     def all_language_tokens(self) -> Tuple[int, ...]:
+        # insertion order, NOT sorted: the reference truncates the special-
+        # token dict's iteration order to num_languages (tokenizer.py:297-303),
+        # and the two orders pick different subsets for some tokenizer builds
         result = [
             token_id
             for token, token_id in self.special_tokens.items()
             if token.strip("<|>") in LANGUAGES
         ]
-        return tuple(sorted(result))[: self.num_languages]
+        return tuple(result[: self.num_languages])
 
     @cached_property
     def all_language_codes(self) -> Tuple[str, ...]:

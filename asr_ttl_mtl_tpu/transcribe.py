@@ -487,20 +487,71 @@ def transcribe(
     )
 
 
+@dataclass
+class _Window:
+    """One 30 s mel slice of one input, plus where it came from."""
+
+    input_idx: int
+    seek: int
+    size: int  # un-padded frame count
+    mel: np.ndarray
+
+
+def _collect_windows(
+    model, audios, clip_timestamps: Union[str, List[float]]
+) -> List[_Window]:
+    windows: List[_Window] = []
+    for idx, audio in enumerate(audios):
+        mel = np.asarray(log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES))
+        content_frames = max(mel.shape[-1] - N_FRAMES, 1)
+        for clip_start, clip_end in _parse_clip_ranges(clip_timestamps, content_frames):
+            seek = clip_start
+            while seek < clip_end:
+                size = max(1, min(N_FRAMES, content_frames - seek, clip_end - seek))
+                padded = pad_or_trim(mel[:, seek : seek + size], N_FRAMES, axis=-1)
+                windows.append(_Window(idx, seek, size, padded.astype(np.float32)))
+                seek += size
+    return windows
+
+
 def transcribe_batch(
     model: "WhisperModel",
     audios: List[Union[str, np.ndarray]],
     batch_size: int = 16,
     mesh=None,
+    *,
+    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    initial_prompt: Optional[str] = None,
+    clip_timestamps: Union[str, List[float]] = "0",
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     **decode_options,
 ) -> List[dict]:
     """Throughput-oriented batched transcription (TPU-native addition).
 
     All 30 s windows from all inputs are decoded together in device-wide
-    batches (no cross-window prompt conditioning — each window is decoded
-    independently, like the reference with condition_on_previous_text=False).
-    This is the mode the BASELINE.json north star measures
-    (audio-sec/sec/chip).
+    batches. Windows are cut at fixed 30 s strides and decoded independently
+    (no cross-window prompt conditioning — like the reference with
+    ``condition_on_previous_text=False``; for inputs that fit one window the
+    output matches sequential :func:`transcribe` exactly). This is the mode
+    the BASELINE.json north star measures (audio-sec/sec/chip).
+
+    The temperature-fallback ladder (reference ``transcribe.py:184-224``)
+    applies per window: after each pass, windows failing the
+    :class:`QualityGates` are re-decoded together at the next temperature —
+    only the failed subset pays for the retry, and since temperature is a
+    traced scalar the retries reuse the same compiled programs. Confidently
+    silent windows contribute no segments (the sequential no-speech skip).
+
+    ``initial_prompt`` conditions EVERY window (windows are independent, so
+    the prompt is carried as with ``carry_initial_prompt=True``).
+    ``clip_timestamps`` restricts windowing to the given ranges (applied to
+    every input). ``word_timestamps`` aligns all windows' segments in
+    batched teacher-forced forwards (:func:`timing.find_alignment_batch`).
 
     With `mesh` (a jax.sharding.Mesh with a 'dp' axis), window batches are
     decoded data-parallel across the mesh via parallel.serving — the
@@ -508,76 +559,130 @@ def transcribe_batch(
     """
     from .decoding import DecodingTask
 
-    # window all inputs
-    windows = []  # (input_idx, seek_frames, mel_segment)
-    metas = []
-    for idx, audio in enumerate(audios):
-        mel = np.asarray(log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES))
-        content_frames = mel.shape[-1] - N_FRAMES
-        seek = 0
-        while seek < max(content_frames, 1):
-            segment_size = min(N_FRAMES, content_frames - seek) if content_frames else N_FRAMES
-            seg = pad_or_trim(mel[:, seek : seek + max(segment_size, 1)], N_FRAMES, axis=-1)
-            windows.append(seg.astype(np.float32))
-            metas.append((idx, seek, max(segment_size, 1)))
-            seek += max(segment_size, 1)
+    windows = _collect_windows(model, audios, clip_timestamps)
+    if not windows:
+        return [dict(text="", segments=[], language=decode_options.get("language"))
+                for _ in audios]
 
     language = decode_options.pop("language", None)
     if language is None:
         if model.is_multilingual:
             # detect once on the first window of the whole batch (single-file
             # transcribe() detects per file; batch mode shares one language)
-            _, probs = model.detect_language(jnp.asarray(windows[0]))
+            _, probs = model.detect_language(jnp.asarray(windows[0].mel))
             language = max(probs, key=probs.get)
         else:
             language = "en"
-    # same beam/best_of disambiguation as the sequential ladder: greedy/beam
-    # at t==0, sampling candidates at t>0 (reference transcribe.py:192-197)
-    if (decode_options.get("temperature") or 0) > 0:
-        decode_options.pop("beam_size", None)
-        decode_options.pop("patience", None)
-    else:
-        decode_options.pop("best_of", None)
-    options = DecodingOptions(language=language, **decode_options)
-    task = DecodingTask(model, options)
+    decode_options["language"] = language
+    if initial_prompt is not None:
+        decode_options["prompt"] = " " + initial_prompt.strip()
+
+    ladder = _as_ladder(temperature)
+    gates = QualityGates(
+        compression_ratio=compression_ratio_threshold,
+        logprob=logprob_threshold,
+        no_speech=no_speech_threshold,
+    )
 
     if mesh is not None:
         from .parallel.serving import decode_batched_dp
 
-    results = [None] * len(windows)
-    for i in range(0, len(windows), batch_size):
-        chunk = windows[i : i + batch_size]
-        pad_to = len(chunk)
-        # pad the last chunk to the full batch so every call reuses ONE
-        # compiled program shape (fresh shapes cost minutes over a
-        # remote-attached chip)
-        if len(chunk) < batch_size and len(windows) > batch_size:
-            chunk = chunk + [np.zeros_like(chunk[0])] * (batch_size - len(chunk))
-        if mesh is not None:
-            out = decode_batched_dp(model, np.stack(chunk), options, mesh=mesh)
-        else:
-            out = task.run(jnp.asarray(np.stack(chunk)))
-        for j, r in enumerate(out[:pad_to]):
-            results[i + j] = r
+    tasks: dict = {}  # DecodingTask per rung; the jitted programs underneath
+    # are lru-cached on static config only, so all t>0 rungs share compiles
 
-    # assemble per input
-    tokenizer = task.tokenizer
+    def decode_subset(indices: List[int], t: float) -> None:
+        options = options_at_temperature(decode_options, t)
+        task = tasks.get(t)
+        if task is None:
+            task = tasks[t] = DecodingTask(model, options)
+        for i in range(0, len(indices), batch_size):
+            group = indices[i : i + batch_size]
+            chunk = [windows[k].mel for k in group]
+            # pad partial chunks up to the full batch so every call reuses
+            # ONE compiled program shape (fresh shapes cost minutes over a
+            # remote-attached chip)
+            if len(chunk) < batch_size and len(windows) > batch_size:
+                chunk += [np.zeros_like(chunk[0])] * (batch_size - len(chunk))
+            if mesh is not None:
+                out = decode_batched_dp(model, np.stack(chunk), options, mesh=mesh)
+            else:
+                out = task.run(jnp.asarray(np.stack(chunk)))
+            for k, res in zip(group, out):
+                results[k] = res
+
+    results: List[Optional[DecodingResult]] = [None] * len(windows)
+    decode_subset(list(range(len(windows))), ladder[0])
+    for t in ladder[1:]:
+        retry = [k for k, res in enumerate(results) if gates.degenerate(res)]
+        if not retry:
+            break
+        decode_subset(retry, t)
+
+    # ---- assemble segments per window -------------------------------------
+    tokenizer = next(iter(tasks.values())).tokenizer
+    input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
+    time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
+
+    window_segments: List[List[dict]] = []
+    for win, res in zip(windows, results):
+        if no_speech_threshold is not None and gates.silent_window(res):
+            window_segments.append([])
+            continue
+        time_offset = win.seek * HOP_LENGTH / SAMPLE_RATE
+
+        def make(start, end, tokens, _win=win, _res=res):
+            return _build_segment(
+                tokenizer, seek=_win.seek, start=start, end=end,
+                tokens=tokens, result=_res,
+            )
+
+        segments, _, _ = _cut_segments(
+            np.asarray(res.tokens),
+            tokenizer,
+            time_offset=time_offset,
+            time_precision=time_precision,
+            segment_duration=win.size * HOP_LENGTH / SAMPLE_RATE,
+            segment_size=win.size,
+            input_stride=input_stride,
+            make=make,
+        )
+        window_segments.append(segments)
+
+    if word_timestamps:
+        from .timing import add_word_timestamps, find_alignment_batch
+
+        token_lists = [
+            [t for seg in segs for t in seg["tokens"] if t < tokenizer.eot]
+            for segs in window_segments
+        ]
+        alignments = find_alignment_batch(
+            model,
+            tokenizer,
+            token_lists,
+            np.stack([w.mel for w in windows]),
+            [w.size for w in windows],
+        )
+        for win, segs, alignment in zip(windows, window_segments, alignments):
+            add_word_timestamps(
+                segments=segs,
+                model=model,
+                tokenizer=tokenizer,
+                mel=win.mel,
+                num_frames=win.size,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+                last_speech_timestamp=0.0,
+                alignment=alignment,
+            )
+
     outputs = [dict(text="", segments=[], language=language) for _ in audios]
-    for (idx, seek, segment_size), res in zip(metas, results):
-        time_offset = seek * HOP_LENGTH / SAMPLE_RATE
-        text_tokens = [t for t in res.tokens if t < tokenizer.eot]
-        seg = {
-            "id": len(outputs[idx]["segments"]),
-            "seek": seek,
-            "start": time_offset,
-            "end": time_offset + segment_size * HOP_LENGTH / SAMPLE_RATE,
-            "text": tokenizer.decode(text_tokens),
-            "tokens": list(res.tokens),
-            "temperature": res.temperature,
-            "avg_logprob": res.avg_logprob,
-            "compression_ratio": res.compression_ratio,
-            "no_speech_prob": res.no_speech_prob,
-        }
-        outputs[idx]["segments"].append(seg)
-        outputs[idx]["text"] += seg["text"]
+    for win, segments in zip(windows, window_segments):
+        bucket = outputs[win.input_idx]
+        for segment in segments:
+            if segment["start"] == segment["end"] or not segment["text"].strip():
+                segment["text"] = ""
+                segment["tokens"] = []
+                segment["words"] = []
+            bucket["segments"].append({"id": len(bucket["segments"]), **segment})
+            bucket["text"] += segment["text"]
     return outputs
