@@ -71,6 +71,12 @@ class TrainingConfig:
     # samples per training window (480000 = whisper's 30 s; smaller values
     # pair with debug_dims whose n_audio_ctx = audio_samples / 320)
     audio_samples: int = 480000
+    # H2D length buckets for the waveforms: each batch ships only up to the
+    # smallest bucket covering its longest clip; the jitted step zero-pads to
+    # audio_samples on device (bit-identical mels, ~4-8x less transfer for
+    # short-clip corpora like TORGO). None = auto (audio_samples//4 and
+    # audio_samples); set to (audio_samples,) to always ship the full window
+    audio_length_buckets: Optional[Tuple[int, ...]] = None
     # when set, a jax.profiler trace of the first profiled epoch is written
     # here (TensorBoard/Perfetto-viewable) and per-step timing summaries are
     # logged (utils/profiling.py)

@@ -74,13 +74,16 @@ class MultiTaskSpeechDataset:
         return sequence
 
     def _load_waveform(self, audio_path: str) -> np.ndarray:
+        """True-length waveform, trimmed (not padded) to the training window:
+        collate pads to an audio length bucket and the jitted step zero-pads
+        the rest on device — identical mels, far fewer H2D bytes."""
         n_samples = getattr(self.config, "audio_samples", N_SAMPLES)
         try:
-            audio = load_audio(audio_path)
-            return pad_or_trim(audio, n_samples).astype(np.float32)
+            audio = np.asarray(load_audio(audio_path), dtype=np.float32)
+            return audio[:n_samples]
         except Exception as e:  # zero-audio fallback (reference dataset.py:93-96)
             print(f"Error loading audio {audio_path}: {e}")
-            return np.zeros((n_samples,), dtype=np.float32)
+            return np.zeros((1,), dtype=np.float32)
 
     def __getitem__(self, idx: int) -> Dict:
         row = self.df.iloc[idx]
@@ -101,9 +104,7 @@ class MultiTaskSpeechDataset:
             print(f"Error loading sample {idx}: {e}")
             seq = self.create_sequence_with_disease_context("", 0)
             return {
-                "audio": np.zeros(
-                    (getattr(self.config, "audio_samples", N_SAMPLES),), dtype=np.float32
-                ),
+                "audio": np.zeros((1,), dtype=np.float32),
                 "input_tokens": seq[:-1],
                 "target_tokens": seq[1:],
                 "class": 0,
@@ -119,9 +120,22 @@ def bucket_length(n: int, buckets) -> int:
     return buckets[-1]
 
 
-def collate(items: List[Dict], tokenizer: Tokenizer, buckets) -> Dict:
+def audio_buckets(config) -> tuple:
+    """H2D waveform length buckets (config.audio_length_buckets; auto =
+    quarter-window and full window)."""
+    n = getattr(config, "audio_samples", N_SAMPLES)
+    explicit = getattr(config, "audio_length_buckets", None)
+    if explicit:
+        return tuple(explicit)
+    return (max(1, n // 4), n)
+
+
+def collate(items: List[Dict], tokenizer: Tokenizer, buckets,
+            audio_len_buckets=(N_SAMPLES,)) -> Dict:
     """Stack a batch, padding inputs with EOT and targets with -100
-    (reference dataset.py:176-219) up to a static bucket length."""
+    (reference dataset.py:176-219) up to a static bucket length; waveforms
+    are zero-padded to the smallest audio length bucket covering the batch
+    (the jitted step pads the rest to the full window on device)."""
     max_len = max(max(len(it["input_tokens"]), len(it["target_tokens"])) for it in items)
     L = bucket_length(max_len, buckets)
     B = len(items)
@@ -132,8 +146,14 @@ def collate(items: List[Dict], tokenizer: Tokenizer, buckets) -> Dict:
         tgt = it["target_tokens"][:L]
         input_tokens[i, : len(inp)] = inp
         target_tokens[i, : len(tgt)] = tgt
+
+    A = bucket_length(max(len(it["audio"]) for it in items), audio_len_buckets)
+    audio = np.zeros((B, A), np.float32)
+    for i, it in enumerate(items):
+        clip = it["audio"][:A]
+        audio[i, : len(clip)] = clip
     return {
-        "audio": np.stack([it["audio"] for it in items]),
+        "audio": audio,
         "input_tokens": input_tokens,
         "target_tokens": target_tokens,
         "classes": np.asarray([it["class"] for it in items], np.int32),
@@ -164,6 +184,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.buckets = tuple(buckets)
+        self.audio_len_buckets = audio_buckets(dataset.config)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -195,12 +216,15 @@ class DataLoader:
         for i, row in enumerate(rows):
             if status[i] < 0:
                 print(f"Error loading audio {paths[i]}: native decode {status[i]}")
+            # status[i] is the decoded length: carry only the real samples so
+            # collate can pick a small audio bucket (error rows stay zeros)
+            true_len = min(max(int(status[i]), 1), n_samples)
             try:
                 text = str(row["text"])
                 class_id = int(row["class"])
                 seq = ds.create_sequence_with_disease_context(text, class_id)
                 items.append({
-                    "audio": audio_mat[i],
+                    "audio": audio_mat[i, :true_len],
                     "input_tokens": seq[:-1],
                     "target_tokens": seq[1:],
                     "class": class_id,
@@ -211,7 +235,7 @@ class DataLoader:
                 print(f"Error loading sample {idxs[i]}: {e}")
                 seq = ds.create_sequence_with_disease_context("", 0)
                 items.append({
-                    "audio": np.zeros((n_samples,), dtype=np.float32),
+                    "audio": np.zeros((1,), dtype=np.float32),
                     "input_tokens": seq[:-1],
                     "target_tokens": seq[1:],
                     "class": 0,
@@ -261,7 +285,8 @@ class DataLoader:
                         items = self._native_batch(idxs)
                         if items is None:
                             items = list(pool.map(self.dataset.__getitem__, idxs))
-                        if not put_or_stop(collate(items, self.dataset.tokenizer, self.buckets)):
+                        if not put_or_stop(collate(items, self.dataset.tokenizer,
+                                                   self.buckets, self.audio_len_buckets)):
                             return
             except BaseException as e:  # noqa: BLE001
                 errors.append(e)

@@ -265,6 +265,12 @@ class MultiTaskTrainer:
         params, cp = trainable["model"], trainable["classifier"]
         if audio.dtype == jnp.int16:  # quantized transfer (_audio_for_transfer)
             audio = audio.astype(jnp.float32) / 32768.0
+        if audio.shape[-1] < self.config.audio_samples:
+            # bucketed H2D (dataset.audio_buckets): finish the zero-pad to the
+            # full window on device — identical mels, fewer transfer bytes
+            audio = jnp.pad(
+                audio, ((0, 0), (0, self.config.audio_samples - audio.shape[-1]))
+            )
         mels = log_mel_spectrogram_jax(audio, n_mels=dims.n_mels)
         feats = W.encoder_apply(params, dims, mels, self.compute_dtype)
 

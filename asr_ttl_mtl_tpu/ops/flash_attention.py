@@ -174,7 +174,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _default_blocks(tq: int, tk: int, causal: bool) -> tuple:
+def _default_blocks(tq: int, tk: int, causal: bool, itemsize: int = 2) -> tuple:
     """Pick block sizes that keep the per-program work large (grid overhead
     dominates tiny programs) while the fp32 score tile stays well under VMEM.
 
@@ -182,13 +182,16 @@ def _default_blocks(tq: int, tk: int, causal: bool) -> tuple:
     axis in one grid step (block_k = tk rounded up, capped at 2048) so each
     (bh, qi) program does one big MXU pass — with d=64, small blocks leave
     the grid overhead-bound. Causal: square-ish blocks so the skip-predicate
-    removes ~half the work.
+    removes ~half the work. fp32 inputs (itemsize 4) double the double-
+    buffered input blocks, so their caps halve — the bf16 sizes scoped-VMEM-
+    OOM the backward kernels at T=1500 (measured: 18.1 MB > the 16 MB limit).
     """
+    wide = itemsize <= 2
     if causal:
-        return 256, 512
-    bk = min(_round_up(tk, 128), 2048)
-    # score tile (block_q, bk) fp32 <= ~6MB
-    bq = max(128, min(_round_up(tq, 128), (6 * 1024 * 1024 // 4) // bk // 128 * 128))
+        return (256, 512) if wide else (256, 256)
+    bk = min(_round_up(tk, 128), 2048 if wide else 1024)
+    budget = (6 if wide else 3) * 1024 * 1024  # fp32 score tile bytes
+    bq = max(128, min(_round_up(tq, 128), budget // 4 // bk // 128 * 128))
     return bq, bk
 
 
@@ -221,7 +224,7 @@ def flash_attention(
     tk = k.shape[1]
     kv_len = kv_valid_len if kv_valid_len is not None else tk
 
-    dbq, dbk = _default_blocks(tq, tk, causal)
+    dbq, dbk = _default_blocks(tq, tk, causal, jnp.dtype(q.dtype).itemsize)
     block_q = dbq if block_q is None else block_q
     block_k = dbk if block_k is None else block_k
     block_q = min(block_q, _round_up(tq, 128))
@@ -489,7 +492,7 @@ def flash_attention_bwd(
     tk = k.shape[1]
     kv_len = kv_valid_len if kv_valid_len is not None else tk
 
-    block_q, block_k = _default_blocks(tq, tk, causal)
+    block_q, block_k = _default_blocks(tq, tk, causal, jnp.dtype(q.dtype).itemsize)
     block_q = min(block_q, _round_up(tq, 128))
     block_k = min(block_k, _round_up(tk, 128))
     tq_pad = _round_up(tq, block_q)

@@ -78,6 +78,9 @@ def trained_model(steps: int, tmpdir: str):
     csv = os.path.join(tmpdir, "train.csv")
     open(csv, "w").write("\n".join(rows) + "\n")
 
+    import jax
+
+    dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
     cfg = TrainingConfig(
         model_size="tiny", pretrained="random",
         debug_dims=dict(n_mels=80, n_audio_ctx=1500, n_audio_state=384,
@@ -85,7 +88,7 @@ def trained_model(steps: int, tmpdir: str):
                         n_text_ctx=448, n_text_state=384, n_text_head=6,
                         n_text_layer=2),
         audio_samples=480000, epochs=1, batch_size=4, learning_rate=3e-4,
-        compute_dtype="float32", train_csv=csv, val_csv=csv, test_csv=csv,
+        compute_dtype=dtype, train_csv=csv, val_csv=csv, test_csv=csv,
         save_dir=tmpdir, token_buckets=(48,), num_workers=2, seed=0,
     )
     trainer = MultiTaskTrainer(cfg, verbose=False)

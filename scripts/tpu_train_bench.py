@@ -109,6 +109,26 @@ def main():
         flush=True,
     )
 
+    # MFU from XLA's own cost analysis of the fused program (per optimizer
+    # step), against the v5e peak of 197 TFLOP/s bf16
+    try:
+        lowered = scan_fn.lower(
+            trainable, opt_state, dev["audio"], dev["input_tokens"],
+            dev["target_tokens"], dev["classes"], a, a, key,
+            np.full((K,), B, np.int32),
+        )
+        cost = lowered.compile().cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0)) / K
+        peak = 197e12
+        print(
+            f"  train-step FLOPs {flops_per_step / 1e9:.1f} G -> "
+            f"MFU {(flops_per_step / dt) / peak * 100:.1f}% of v5e bf16 peak "
+            f"({flops_per_step / dt / 1e12:.1f} TFLOP/s achieved)",
+            flush=True,
+        )
+    except Exception as e:
+        print(f"  (cost analysis unavailable: {e})", flush=True)
+
 
 def epoch_mode():
     """Time trainer.train_epoch itself (the realistic number: input pipeline
@@ -116,6 +136,10 @@ def epoch_mode():
     from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
 
     model_size = sys.argv[2] if len(sys.argv) > 2 else "tiny"
+    # clip length shipped per sample: the dataset pipeline buckets H2D to the
+    # true clip length (TORGO/UncommonVoice clips are mostly < 8 s); pass 30
+    # to force the old fully-padded transfers
+    clip_seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 7.5
     B, NBATCH = 16, 48
 
     config = TrainingConfig(model_size=model_size, pretrained="random",
@@ -125,6 +149,10 @@ def epoch_mode():
     tok = trainer.tokenizer
     rng = np.random.RandomState(0)
     L = 48
+    ship_samples = min(int(clip_seconds * 16000), config.audio_samples)
+    from asr_ttl_mtl_tpu.mtl.dataset import audio_buckets, bucket_length
+
+    ship_samples = bucket_length(ship_samples, audio_buckets(config))
     it_ = np.full((B, L), tok.eot, np.int32)
     tt = np.full((B, L), -100, np.int32)
     seq = [tok.sot, list(tok.disease_tokens.values())[0]] + tok.encode(
@@ -133,12 +161,14 @@ def epoch_mode():
         it_[i, : len(seq) - 1] = seq[:-1]
         tt[i, : len(seq) - 1] = seq[1:]
     batches = [
-        {"audio": (rng.randn(B, config.audio_samples) * 0.05).astype(np.float32),
+        {"audio": (rng.randn(B, ship_samples) * 0.05).astype(np.float32),
          "input_tokens": it_, "target_tokens": tt,
          "classes": np.asarray([i % 3 for i in range(B)], np.int32),
          "texts": ["the quick brown fox jumps over the lazy dog today"] * B}
         for _ in range(NBATCH)
     ]
+    print(f"shipping {ship_samples} samples/clip ({ship_samples / 16000:.1f} s buckets)",
+          flush=True)
 
     trainer.train_epoch(batches[:16], 0)  # compile + warm layouts
     t0 = time.perf_counter()

@@ -182,7 +182,9 @@ def test_dataset_and_loader(tmp_path):
     ds = MultiTaskSpeechDataset(csv, cfg)
     assert len(ds) == 6
     item = ds[0]
-    assert item["audio"].shape == (64000,)
+    # items carry the TRUE clip length (1 s files); collate pads to an audio
+    # length bucket and the train step zero-pads to audio_samples on device
+    assert item["audio"].shape == (16000,)
     assert item["input_tokens"][0] == ds.tokenizer.sot
     assert item["target_tokens"][-1] == ds.tokenizer.eot
     # disease token at position 1 for en-only
@@ -192,7 +194,7 @@ def test_dataset_and_loader(tmp_path):
     batches = list(loader)
     assert len(batches) == 2
     b = batches[0]
-    assert b["audio"].shape == (4, 64000)
+    assert b["audio"].shape == (4, 64000 // 4)  # smallest covering bucket
     assert b["input_tokens"].shape[1] in cfg.token_buckets
     assert (b["target_tokens"] == -100).any()  # padding present
 
@@ -398,3 +400,25 @@ def test_int16_audio_transfer_lossless_for_pcm(tmp_path):
         out[dt] = tr.train_epoch(loader, 0)["loss"]
     # PCM-sourced audio quantizes losslessly -> identical training
     assert out["int16"] == pytest.approx(out["float32"], rel=1e-6)
+
+
+def test_audio_length_bucketing_is_exact(tmp_path):
+    """Bucketed H2D (true-length clips + device-side zero-pad) produces
+    bit-identical losses to shipping the fully padded window."""
+    csv = _write_dataset(tmp_path)
+    bucketed_cfg = _config(tmp_path, csv, num_workers=0, seed=5)
+    padded_cfg = _config(tmp_path, csv, num_workers=0, seed=5,
+                         audio_length_buckets=(64000,))
+    a = MultiTaskTrainer(bucketed_cfg, verbose=False)
+    b = MultiTaskTrainer(padded_cfg, verbose=False)
+    la = DataLoader(MultiTaskSpeechDataset(csv, bucketed_cfg), batch_size=4,
+                    num_workers=0, buckets=bucketed_cfg.token_buckets)
+    lb = DataLoader(MultiTaskSpeechDataset(csv, padded_cfg), batch_size=4,
+                    num_workers=0, buckets=padded_cfg.token_buckets)
+    assert next(iter(la))["audio"].shape[1] == 16000
+    assert next(iter(lb))["audio"].shape[1] == 64000
+    ma = a.train_epoch(la, 0)
+    mb = b.train_epoch(lb, 0)
+    assert ma["loss"] == mb["loss"]
+    assert ma["cls_loss"] == mb["cls_loss"]
+    assert ma["trans_loss"] == mb["trans_loss"]
