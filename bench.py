@@ -1,12 +1,18 @@
 """Benchmark: batched 30s-window greedy transcription throughput.
 
 Measures audio-seconds transcribed per wall-clock second on one chip with the
-`base`-architecture model (bf16 on TPU): full pipeline per window = log-mel is
-precomputed (as in serving, where the frontend overlaps with decode), encoder
-forward, KV-cache prefill, and a forced 64-token greedy decode (EOT is
-suppressed so every window decodes exactly 64 tokens — a realistic dense-
-speech token budget per 30 s window, and deterministic regardless of model
-weights).
+`base`-architecture model (bf16 compute + int8 KV caches on TPU): full
+pipeline per window = log-mel is precomputed (as in serving, where the
+frontend overlaps with decode), encoder forward, KV-cache prefill, and a
+forced 64-token greedy decode (EOT is suppressed so every window decodes
+exactly 64 tokens — a realistic dense-speech token budget per 30 s window,
+and deterministic regardless of model weights).
+
+The int8 KV serving mode is the repo's best honest config: greedy/beam token
+agreement measured 32/32 with zero normalized-text delta on trained weights
+(scripts/tpu_int8_quality.py; PERF.md quality table — random-weight beam is
+the only config that diverges, by construction of near-uniform logits).
+bf16-KV measures ~6430 audio-s/s on the same harness (PERF.md).
 
 Baseline: the BASELINE.json north star of 10x real-time per v5e chip at base
 (the reference publishes no inference throughput numbers at all —
@@ -53,6 +59,7 @@ def main():
         sample_len=DECODE_TOKENS,
         suppress_tokens=f"-1,{tokenizer_eot}",
         fp16=True,
+        kv_quant=on_tpu,  # int8 KV on the chip (quality table in PERF.md)
     )
     task = DecodingTask(model, options)
 

@@ -120,10 +120,17 @@ def main():
         cost = lowered.compile().cost_analysis()
         flops_per_step = float(cost.get("flops", 0.0)) / K
         peak = 197e12
+
+        # device-only step time: re-time with inputs already resident (no H2D)
+        t0 = time.perf_counter()
+        trainable, opt_state, key, losses, _ = one_call(trainable, opt_state, key)
+        float(np.asarray(losses)[-1])
+        dt_dev = (time.perf_counter() - t0) / K
         print(
-            f"  train-step FLOPs {flops_per_step / 1e9:.1f} G -> "
-            f"MFU {(flops_per_step / dt) / peak * 100:.1f}% of v5e bf16 peak "
-            f"({flops_per_step / dt / 1e12:.1f} TFLOP/s achieved)",
+            f"  train-step FLOPs {flops_per_step / 1e9:.1f} G; device-resident "
+            f"step {dt_dev * 1e3:.1f} ms -> MFU {(flops_per_step / dt_dev) / peak * 100:.1f}% "
+            f"of v5e bf16 peak ({flops_per_step / dt_dev / 1e12:.2f} TFLOP/s); "
+            f"incl-H2D MFU {(flops_per_step / dt) / peak * 100:.1f}%",
             flush=True,
         )
     except Exception as e:
