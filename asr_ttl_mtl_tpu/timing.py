@@ -187,19 +187,31 @@ _TOKEN_BUCKETS = (64, 128, 192, 256, 320, 384, 448)
 
 @lru_cache(maxsize=16)
 def _build_alignment_forward_batch(
-    dims, head_pairs, compute_dtype_name: str, bucket_len: int, eot: int
+    dims, head_pairs, compute_dtype_name: str, bucket_len: int, eot: int,
+    medfilt_width: int,
 ):
     """Jitted batched teacher-forced alignment forward: B window mels +
-    padded token rows -> (softmaxed alignment-head attention, per-position
-    probability of the teacher-forced next token). The cheap per-row
-    normalize/median/DTW stages run on host with exact per-row lengths."""
+    padded token rows -> (per-window DTW cost matrix, per-position probability
+    of the teacher-forced next token).
+
+    The whole alignment pipeline — QK capture, masked softmax, per-column
+    standardization, median filter, alignment-head mean — runs on device, so
+    the host fetches only a (B, T_text, T_audio) matrix instead of the
+    (n_heads, B, T_text, T_audio) raw attention block (~n_heads x less D2H:
+    on the tunnel-attached chip the raw fetch dominated the whole batched
+    path). Per-row frame/token lengths are honored by masking:
+    * standardization statistics count only the real token rows, and
+    * the median filter reflects at each row's true frame boundary (the same
+      reflect-pad `ops.median.median_filter` applies after cropping),
+    so cropped results match the single-window path column-for-column."""
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
     layers = np.asarray([p[0] for p in head_pairs])
     heads = np.asarray([p[1] for p in head_pairs])
+    half = medfilt_width // 2
 
-    def run(params, mels, tokens, frame_lens, qk_scale):
+    def run(params, mels, tokens, frame_lens, row_lens, qk_scale):
         feats = W.encoder_apply(params, dims, mels, compute_dtype)
         logits, _, cross_qk = W.decoder_apply(
             params, dims, tokens, feats, compute_dtype=compute_dtype,
@@ -208,11 +220,51 @@ def _build_alignment_forward_batch(
         # cross_qk: (L, B, H, T_text, T_audio) fp32 pre-softmax; the paired
         # advanced indices land the selected-head axis first -> (n_sel, B, Tt, Ta)
         weights = cross_qk[layers, :, heads]
-        frame_ok = jnp.arange(weights.shape[-1])[None, :] < frame_lens[:, None]
+        n_audio = weights.shape[-1]
+        frame_ok = jnp.arange(n_audio)[None, :] < frame_lens[:, None]  # (B, Ta)
         weights = jnp.where(
             frame_ok[None, :, None, :], weights * qk_scale, -jnp.inf
         )
         weights = jax.nn.softmax(weights, axis=-1)
+
+        # standardize each frame column over the REAL token rows only
+        # (columns past a row's frame_len hold exact zeros and are cropped
+        # away on host; their std is 0, guarded to 1 to avoid 0/0)
+        tok_ok = (jnp.arange(weights.shape[-2]) < row_lens[:, None])[None, :, :, None]
+        cnt = row_lens.astype(jnp.float32)[None, :, None, None]
+        masked = jnp.where(tok_ok, weights, 0.0)
+        mean = masked.sum(axis=-2, keepdims=True) / cnt
+        var = jnp.where(tok_ok, (weights - mean) ** 2, 0.0).sum(axis=-2, keepdims=True) / cnt
+        std = jnp.sqrt(var)
+        # deliberately unguarded: a zero-variance column divides to NaN
+        # exactly as the reference's torch.std_mean-then-divide does
+        # (timing.py:210-212) and as the single-window paths above do —
+        # batched and sequential results must agree bit-for-bit in the
+        # degenerate case too
+        w = (weights - mean) / std
+
+        # median filter along frames, reflecting at each row's true boundary:
+        # gather window element j of column t from reflect(t + j - half) where
+        # reflection happens at 0 and at frame_len-1 per batch row
+        t = jnp.arange(n_audio)[None, :, None]          # (1, Ta, 1)
+        j = jnp.arange(medfilt_width)[None, None, :]     # (1, 1, width)
+        raw = t + j - half
+        raw = jnp.abs(raw)                               # reflect at 0
+        hi = jnp.maximum(frame_lens[:, None, None] - 1, 0)
+        raw = jnp.where(raw > hi, 2 * hi - raw, raw)     # reflect at frame_len-1
+        idx = jnp.clip(raw, 0, n_audio - 1)              # (B, Ta, width)
+
+        def _filter_one_head(wh):  # (B, Tt, Ta) -> same, median over windows
+            win = jnp.take_along_axis(
+                wh[..., None], idx[:, None, :, :], axis=-2
+            )  # (B, Tt, Ta, width)
+            return jnp.sort(win, axis=-1)[..., half]
+
+        # map over heads to bound the (…, width) unfold's transient footprint
+        filt = jax.lax.map(_filter_one_head, w)
+        # rows too short to pad are returned unfiltered (median_filter contract)
+        filt = jnp.where((frame_lens > half)[None, :, None, None], filt, w)
+        matrix = filt.mean(axis=0)                       # (B, Tt, Ta)
 
         # probability each position assigns its teacher-forced next token,
         # normalized over the text vocabulary only (as the single-window path
@@ -222,7 +274,7 @@ def _build_alignment_forward_batch(
         picked = jnp.take_along_axis(
             probs, jnp.minimum(next_ids, eot - 1)[..., None], axis=-1
         )[..., 0]
-        return weights, picked
+        return matrix, picked
 
     return jax.jit(run)
 
@@ -239,11 +291,14 @@ def find_alignment_batch(
 ) -> List[List[WordTiming]]:
     """Batched :func:`find_alignment` over many 30 s windows at once.
 
-    The teacher-forced encoder+decoder forward — the expensive part — runs as
-    ONE device program over the whole window batch (token rows padded to a
-    static bucket); the per-row standardize/median-filter/DTW stages run on
-    host with each row's exact lengths, so every row's result is identical to
-    a single-window :func:`find_alignment` call on the numpy path.
+    The expensive stages — teacher-forced encoder+decoder forward AND the
+    standardize/median/head-mean alignment pipeline — run as ONE device
+    program over the whole window batch (token rows padded to a static
+    bucket, per-row lengths honored by masking inside the program); the host
+    fetches only the (B, T_text, T_audio) DTW cost matrices and walks the
+    per-row DTW. Each row's result matches a single-window
+    :func:`find_alignment` call to fp32 accuracy (words identical,
+    timestamps within one DTW frame).
     """
     sot_len = len(tokenizer.sot_sequence)
     rows = [
@@ -264,27 +319,24 @@ def find_alignment_batch(
     head_pairs = tuple((int(l), int(h)) for l, h in np.argwhere(model.alignment_heads))
     fwd = _build_alignment_forward_batch(
         model.dims, head_pairs, jnp.dtype(model.compute_dtype).name, bucket,
-        tokenizer.eot,
+        tokenizer.eot, medfilt_width,
     )
     mels = np.asarray(mels)
-    weights, picked = fwd(
+    matrices, picked = fwd(
         model.params,
         jnp.asarray(mels[live]),
         jnp.asarray(tokens),
         jnp.asarray([num_frames_list[i] // 2 for i in live], jnp.int32),
+        jnp.asarray([len(rows[i]) for i in live], jnp.int32),
         jnp.asarray(qk_scale, jnp.float32),
     )
-    weights = np.asarray(weights, dtype=np.float64)
+    matrices = np.asarray(matrices, dtype=np.float64)
     picked = np.asarray(picked)
 
     for r, i in enumerate(live):
         n_row = len(rows[i])
         n_frames = num_frames_list[i] // 2
-        w = weights[:, r, :n_row, :n_frames]
-        mean = w.mean(axis=-2, keepdims=True)
-        std = w.std(axis=-2, keepdims=True)
-        w = median_filter((w - mean) / std, medfilt_width)
-        matrix = w.mean(axis=0)[sot_len:-1]
+        matrix = matrices[r, :n_row, :n_frames][sot_len:-1]
         text_indices, time_indices = dtw(-matrix)
         token_probs = picked[r, sot_len : sot_len + len(token_lists[i])].tolist()
         out[i] = _word_timings_from_path(
