@@ -68,20 +68,15 @@ LANGUAGES = {
 # speech-disorder classes; order defines the spliced token IDs
 DISEASE_CONDITIONS = {"normal": 0, "dysphonia": 1, "dysarthria": 2}
 
+# name -> code, plus historical/alternate language names
+_ALT_LANGUAGE_NAMES = dict(
+    burmese="my", valencian="ca", flemish="nl", haitian="ht",
+    letzeburgesch="lb", pushto="ps", panjabi="pa", moldavian="ro",
+    moldovan="ro", sinhalese="si", castilian="es", mandarin="zh",
+)
 TO_LANGUAGE_CODE = {
     **{language: code for code, language in LANGUAGES.items()},
-    "burmese": "my",
-    "valencian": "ca",
-    "flemish": "nl",
-    "haitian": "ht",
-    "letzeburgesch": "lb",
-    "pushto": "ps",
-    "panjabi": "pa",
-    "moldavian": "ro",
-    "moldovan": "ro",
-    "sinhalese": "si",
-    "castilian": "es",
-    "mandarin": "zh",
+    **_ALT_LANGUAGE_NAMES,
 }
 
 _VOCAB_URLS = {
@@ -123,6 +118,22 @@ def find_vocab_file(name: str) -> str:
     return target
 
 
+# Tokenizer attribute name -> special-token marker text. One table drives
+# both the vocabulary layout (_build_special_tokens) and the id accessors
+# (Tokenizer.__getattr__).
+_MARKERS = {
+    "eot": "<|endoftext|>",
+    "sot": "<|startoftranscript|>",
+    "translate": "<|translate|>",
+    "transcribe": "<|transcribe|>",
+    "sot_lm": "<|startoflm|>",
+    "sot_prev": "<|startofprev|>",
+    "no_speech": "<|nospeech|>",
+    "no_timestamps": "<|notimestamps|>",
+    "timestamp_begin": "<|0.00|>",
+}
+
+
 def _build_special_tokens(num_languages: int, include_diseases: bool) -> List[str]:
     """The ordered special-token list that follows the BPE ranks.
 
@@ -135,16 +146,12 @@ def _build_special_tokens(num_languages: int, include_diseases: bool) -> List[st
     lang_block = list(LANGUAGES.keys())[:num_languages]
     if include_diseases:
         lang_block = lang_block + list(DISEASE_CONDITIONS.keys())
+    controls = "translate transcribe startoflm startofprev nospeech notimestamps"
     return [
-        "<|endoftext|>",
-        "<|startoftranscript|>",
+        _MARKERS["eot"],
+        _MARKERS["sot"],
         *[f"<|{lang}|>" for lang in lang_block],
-        "<|translate|>",
-        "<|transcribe|>",
-        "<|startoflm|>",
-        "<|startofprev|>",
-        "<|nospeech|>",
-        "<|notimestamps|>",
+        *[f"<|{name}|>" for name in controls.split()],
         *[f"<|{i * 0.02:.2f}|>" for i in range(1501)],
     ]
 
@@ -222,42 +229,18 @@ class Tokenizer:
         return self.encoding.decode([t for t in token_ids if t not in specials])
 
     # -- special token accessors -------------------------------------------
+    # eot / sot / transcribe / translate / sot_lm / sot_prev / no_speech /
+    # no_timestamps / timestamp_begin all resolve through the _MARKERS table;
+    # the first lookup stores the id on the instance so later ones are plain
+    # attribute reads.
 
-    @cached_property
-    def eot(self) -> int:
-        return self.encoding.eot_token
-
-    @cached_property
-    def transcribe(self) -> int:
-        return self.special_tokens["<|transcribe|>"]
-
-    @cached_property
-    def translate(self) -> int:
-        return self.special_tokens["<|translate|>"]
-
-    @cached_property
-    def sot(self) -> int:
-        return self.special_tokens["<|startoftranscript|>"]
-
-    @cached_property
-    def sot_lm(self) -> int:
-        return self.special_tokens["<|startoflm|>"]
-
-    @cached_property
-    def sot_prev(self) -> int:
-        return self.special_tokens["<|startofprev|>"]
-
-    @cached_property
-    def no_speech(self) -> int:
-        return self.special_tokens["<|nospeech|>"]
-
-    @cached_property
-    def no_timestamps(self) -> int:
-        return self.special_tokens["<|notimestamps|>"]
-
-    @cached_property
-    def timestamp_begin(self) -> int:
-        return self.special_tokens["<|0.00|>"]
+    def __getattr__(self, name: str) -> int:
+        marker = _MARKERS.get(name)
+        if marker is None:
+            raise AttributeError(name)
+        token_id = self.special_tokens[marker]
+        setattr(self, name, token_id)
+        return token_id
 
     @cached_property
     def language_token(self) -> int:
