@@ -91,6 +91,10 @@ class TrainingConfig:
     # native format; scale 32768 round-trips the original samples);
     # resampled audio quantizes at -90 dB, far below the mel log floor.
     # "float32" preserves the reference's float pipeline bit-for-bit.
+    # "mel_fp16" ships host-computed log-mels instead of waveforms — 2x fewer
+    # bytes than int16 (4x vs float32), ~1e-3 absolute mel rounding (below
+    # bf16 compute noise); computed in the loader's producer thread so it
+    # overlaps training (audio.log_mel_for_transfer).
     audio_transfer_dtype: str = "int16"
 
 

@@ -113,6 +113,18 @@ class MultiTaskSpeechDataset:
             }
 
 
+def _config_n_mels(config) -> int:
+    """Mel-band count for the model the trainer will build from ``config``
+    (debug dims override, else the size preset — large-v3 uses 128)."""
+    dd = getattr(config, "debug_dims", None)
+    if dd:
+        return int(dd.get("n_mels", 80))
+    from ..models.dims import PRESET_DIMS
+
+    size = getattr(config, "model_size", "tiny")
+    return PRESET_DIMS[size].n_mels if size in PRESET_DIMS else 80
+
+
 def bucket_length(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
@@ -285,8 +297,19 @@ class DataLoader:
                         items = self._native_batch(idxs)
                         if items is None:
                             items = list(pool.map(self.dataset.__getitem__, idxs))
-                        if not put_or_stop(collate(items, self.dataset.tokenizer,
-                                                   self.buckets, self.audio_len_buckets)):
+                        batch = collate(items, self.dataset.tokenizer,
+                                        self.buckets, self.audio_len_buckets)
+                        if getattr(self.dataset.config, "audio_transfer_dtype",
+                                   None) == "mel_fp16":
+                            # host mel in the producer thread so the transform
+                            # overlaps training (trainer._audio_for_transfer
+                            # passes fp16 mel batches straight through)
+                            from ..audio import log_mel_for_transfer
+
+                            batch["audio"] = log_mel_for_transfer(
+                                batch["audio"], _config_n_mels(self.dataset.config)
+                            )
+                        if not put_or_stop(batch):
                             return
             except BaseException as e:  # noqa: BLE001
                 errors.append(e)

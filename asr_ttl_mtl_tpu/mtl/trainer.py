@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..audio import log_mel_spectrogram_jax
+from ..audio import finish_transfer_mel, log_mel_spectrogram_jax
 from ..models import whisper as W
 from ..models.dims import ModelDimensions
 from ..models.registry import (
@@ -263,15 +263,21 @@ class MultiTaskTrainer:
         size must not be double-weighted in gradients."""
         dims = self.model.dims
         params, cp = trainable["model"], trainable["classifier"]
-        if audio.dtype == jnp.int16:  # quantized transfer (_audio_for_transfer)
-            audio = audio.astype(jnp.float32) / 32768.0
-        if audio.shape[-1] < self.config.audio_samples:
-            # bucketed H2D (dataset.audio_buckets): finish the zero-pad to the
-            # full window on device — identical mels, fewer transfer bytes
-            audio = jnp.pad(
-                audio, ((0, 0), (0, self.config.audio_samples - audio.shape[-1]))
-            )
-        mels = log_mel_spectrogram_jax(audio, n_mels=dims.n_mels)
+        if audio.dtype == jnp.float16:
+            # host-computed log-mel transfer (audio.log_mel_for_transfer):
+            # extend the bucketed frames to the full window with the
+            # per-sample dynamic-range floor
+            mels = finish_transfer_mel(audio, self.config.audio_samples)
+        else:
+            if audio.dtype == jnp.int16:  # quantized transfer (_audio_for_transfer)
+                audio = audio.astype(jnp.float32) / 32768.0
+            if audio.shape[-1] < self.config.audio_samples:
+                # bucketed H2D (dataset.audio_buckets): finish the zero-pad to
+                # the full window on device — identical mels, fewer bytes
+                audio = jnp.pad(
+                    audio, ((0, 0), (0, self.config.audio_samples - audio.shape[-1]))
+                )
+            mels = log_mel_spectrogram_jax(audio, n_mels=dims.n_mels)
         feats = W.encoder_apply(params, dims, mels, self.compute_dtype)
 
         pooled = feats.mean(axis=1)
@@ -432,12 +438,22 @@ class MultiTaskTrainer:
         return dev, n_valid
 
     def _audio_for_transfer(self, audio: np.ndarray) -> np.ndarray:
-        """Quantize waveforms to int16 for the H2D copy when configured
-        (config.audio_transfer_dtype) — exact for 16-bit PCM sources; the
-        jitted step converts back (see _forward)."""
-        if self.config.audio_transfer_dtype != "int16":
+        """Shrink the audio H2D copy as configured (config.audio_transfer_dtype):
+        "int16" quantizes waveforms (exact for 16-bit PCM sources), "mel_fp16"
+        ships host-computed log-mels at 2x fewer bytes still (the loader's
+        producer thread usually converts already — fp16 batches pass through).
+        The jitted step undoes either transform (see _forward)."""
+        audio = np.asarray(audio)
+        if audio.dtype == np.float16:  # already a host-computed mel batch
             return audio
-        return np.clip(np.asarray(audio) * 32768.0, -32768, 32767).astype(np.int16)
+        mode = self.config.audio_transfer_dtype
+        if mode == "mel_fp16":
+            from ..audio import log_mel_for_transfer
+
+            return log_mel_for_transfer(audio, self.model.dims.n_mels)
+        if mode != "int16":
+            return audio
+        return np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
 
     # --- prediction decoding (reference trainer.py:222-244) -----------------
 

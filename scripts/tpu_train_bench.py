@@ -147,11 +147,14 @@ def epoch_mode():
     # true clip length (TORGO/UncommonVoice clips are mostly < 8 s); pass 30
     # to force the old fully-padded transfers
     clip_seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 7.5
+    transfer = sys.argv[4] if len(sys.argv) > 4 else "int16"
+    k = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = auto (8 on TPU)
     B, NBATCH = 16, 48
 
     config = TrainingConfig(model_size=model_size, pretrained="random",
                             batch_size=B, compute_dtype="bfloat16", seed=0,
-                            alpha=0.5, beta=0.5)
+                            alpha=0.5, beta=0.5, audio_transfer_dtype=transfer,
+                            steps_per_call=k)
     trainer = MultiTaskTrainer(config, verbose=False)
     tok = trainer.tokenizer
     rng = np.random.RandomState(0)
@@ -174,8 +177,18 @@ def epoch_mode():
          "texts": ["the quick brown fox jumps over the lazy dog today"] * B}
         for _ in range(NBATCH)
     ]
-    print(f"shipping {ship_samples} samples/clip ({ship_samples / 16000:.1f} s buckets)",
-          flush=True)
+    if transfer == "mel_fp16":
+        # the real loader converts in its producer thread (overlapped with
+        # training); pre-convert here to measure the same pipeline shape
+        from asr_ttl_mtl_tpu.audio import log_mel_for_transfer
+
+        for b in batches:
+            b["audio"] = log_mel_for_transfer(b["audio"])
+        kb = batches[0]["audio"].nbytes / 1024
+    else:
+        kb = batches[0]["audio"].nbytes / 1024 / (2 if transfer == "int16" else 1)
+    print(f"shipping {ship_samples} samples/clip ({ship_samples / 16000:.1f} s "
+          f"buckets) as {transfer}: {kb:.0f} KiB/batch", flush=True)
 
     trainer.train_epoch(batches[:16], 0)  # compile + warm layouts
     t0 = time.perf_counter()

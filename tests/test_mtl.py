@@ -402,6 +402,41 @@ def test_int16_audio_transfer_lossless_for_pcm(tmp_path):
     assert out["int16"] == pytest.approx(out["float32"], rel=1e-6)
 
 
+def test_mel_fp16_transfer_matches_device_mel(tmp_path):
+    """"mel_fp16" transfer: host-computed bucketed mel + device floor-pad
+    reproduces the full-window device mel to fp16 rounding, and an epoch
+    trained on it lands within tolerance of the float32-waveform epoch."""
+    from asr_ttl_mtl_tpu.audio import (
+        finish_transfer_mel, log_mel_for_transfer, log_mel_spectrogram_jax,
+    )
+
+    # direct numeric check: short clip zero-padded to a bucket, vs full window
+    rng = np.random.RandomState(7)
+    clip = rng.randn(2, 11200).astype(np.float32) * 0.2
+    bucket = np.pad(clip, ((0, 0), (0, 16000 - 11200)))
+    full = np.pad(clip, ((0, 0), (0, 64000 - 11200)))
+    shipped = log_mel_for_transfer(bucket)
+    assert shipped.dtype == np.float16 and shipped.shape == (2, 80, 100)
+    got = np.asarray(finish_transfer_mel(jnp.asarray(shipped), 64000))
+    want = np.asarray(log_mel_spectrogram_jax(jnp.asarray(full)))
+    assert got.shape == want.shape == (2, 80, 400)
+    np.testing.assert_allclose(got, want, atol=3e-3)
+
+    # end-to-end: same data order, fp16-mel vs float32-waveform epochs agree
+    csv = _write_dataset(tmp_path, n=4)
+    out = {}
+    for dt in ("float32", "mel_fp16"):
+        cfg = _config(tmp_path, csv, epochs=1, alpha=0.5, beta=0.5,
+                      save_dir=str(tmp_path / dt), audio_transfer_dtype=dt)
+        tr = MultiTaskTrainer(cfg, verbose=False)
+        ds = MultiTaskSpeechDataset(csv, cfg)
+        loader = DataLoader(ds, batch_size=4, num_workers=1, buckets=cfg.token_buckets)
+        batch = next(iter(loader))
+        assert (batch["audio"].dtype == np.float16) == (dt == "mel_fp16")
+        out[dt] = tr.train_epoch(loader, 0)["loss"]
+    assert out["mel_fp16"] == pytest.approx(out["float32"], rel=2e-3)
+
+
 def test_audio_length_bucketing_is_exact(tmp_path):
     """Bucketed H2D (true-length clips + device-side zero-pad) produces
     bit-identical losses to shipping the fully padded window."""
