@@ -52,6 +52,11 @@ def parse_args():
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--audio_transfer_dtype", type=str, default="int16",
+                   choices=["float32", "int16", "mel_fp16"],
+                   help="audio host->device transfer: int16 waveforms (exact "
+                        "for PCM), mel_fp16 host-computed log-mels (2x fewer "
+                        "bytes), or float32 waveforms")
     p.add_argument("--dp", type=int, default=0, help="data-parallel mesh size (0=all)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     p.add_argument("--seed", type=int, default=0)
@@ -82,6 +87,7 @@ def main():
         pretrained=args.pretrained,
         compute_dtype=args.compute_dtype,
         num_workers=args.num_workers,
+        audio_transfer_dtype=args.audio_transfer_dtype,
         mesh_shape=(args.dp, args.tp),
         seed=args.seed,
     )
