@@ -123,6 +123,15 @@ def _decode_kernel_state() -> tuple:
     return jax.default_backend() == "tpu", False
 
 
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU matching reference model.py's nn.GELU (exact erf form) in fp32;
+    the tanh approximation in half precision, where its ~3e-3 relative error
+    sits below bf16's 2^-8 resolution but erf's VPU transcendentals cost ~10%
+    of encoder device time (measured B=32 base: 60.0 -> 53.7 ms)."""
+    half = x.dtype in (jnp.bfloat16, jnp.float16)
+    return jax.nn.gelu(x, approximate=bool(half))
+
+
 def _flash_eligible(tq: int, return_qk: bool, q_offset: Any, mask_structural: bool) -> bool:
     # mask_structural: the caller's additive `mask` (if any) is fully
     # described by the causal/q_offset/kv_valid_len arguments — the kernel
@@ -211,8 +220,8 @@ def encoder_apply(
     """mel (B, n_mels, 3000) -> audio features (B, n_audio_ctx, D)."""
     p = params["encoder"]
     x = mel.astype(compute_dtype)
-    x = jax.nn.gelu(conv1d(p["conv1"], x, stride=1), approximate=False)
-    x = jax.nn.gelu(conv1d(p["conv2"], x, stride=2), approximate=False)
+    x = _gelu(conv1d(p["conv1"], x, stride=1))
+    x = _gelu(conv1d(p["conv2"], x, stride=2))
     x = x.transpose(0, 2, 1)  # (B, T, D)
 
     pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
@@ -228,7 +237,7 @@ def encoder_apply(
         # mlp
         res = x
         h = layer_norm(block["mlp_ln"], x)
-        h = jax.nn.gelu(linear(block["mlp"]["fc1"], h), approximate=False)
+        h = _gelu(linear(block["mlp"]["fc1"], h))
         x = res + linear(block["mlp"]["fc2"], h)
 
     return layer_norm(p["ln_post"], x)
@@ -494,7 +503,7 @@ def decoder_apply(
         # --- mlp ---
         res = x
         h = layer_norm(block["mlp_ln"], x)
-        h = jax.nn.gelu(linear(block["mlp"]["fc1"], h), approximate=False)
+        h = _gelu(linear(block["mlp"]["fc1"], h))
         x = res + linear(block["mlp"]["fc2"], h)
 
     x = layer_norm(p["ln"], x)

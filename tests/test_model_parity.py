@@ -180,3 +180,22 @@ def test_alignment_heads_default():
     heads = W.default_alignment_heads(SMALL)
     assert heads.shape == (2, 4)
     assert not heads[0].any() and heads[1].all()
+
+
+def test_bf16_tanh_gelu_matches_fp32_erf_encoder():
+    """The half-precision path switches GELU to the tanh approximation
+    (models/whisper.py:_gelu); its ~3e-3 error must stay inside the bf16
+    rounding noise of the fp32 erf encoder, i.e. not change the existing
+    bf16-vs-fp32 tolerance envelope."""
+    key = jax.random.PRNGKey(1)
+    params = W.init_params(key, SMALL)
+    mel = np.random.RandomState(0).randn(2, SMALL.n_mels, 2 * SMALL.n_audio_ctx)
+    mel = jnp.asarray(mel.astype(np.float32) * 0.3)
+    ref = np.asarray(W.encoder_apply(params, SMALL, mel, jnp.float32))
+    got = np.asarray(
+        W.encoder_apply(params, SMALL, mel.astype(jnp.bfloat16), jnp.bfloat16)
+    ).astype(np.float32)
+    # bf16 envelope: feature values are O(1) post-LN; 2^-8 resolution
+    # compounds over 2 layers — 0.15 abs is the measured bf16-only bound
+    assert np.max(np.abs(ref - got)) < 0.2
+    assert np.mean(np.abs(ref - got)) < 0.02
