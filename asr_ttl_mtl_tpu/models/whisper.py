@@ -196,6 +196,11 @@ def qkv_attention(
     qk = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=_F32)
     if mask is not None:
         qk = qk + mask
+    if kv_valid_len is not None and kv_valid_len < k.shape[2]:
+        # padded key tail (same structural mask the flash kernel applies)
+        qk = jnp.where(
+            jnp.arange(k.shape[2]) < kv_valid_len, qk, jnp.asarray(-jnp.inf, qk.dtype)
+        )
     w = jax.nn.softmax(qk, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=_F32).astype(v.dtype)
     return _merge_heads(out), (qk if return_qk else None)
@@ -227,12 +232,26 @@ def encoder_apply(
     pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
     x = (x + pos.astype(compute_dtype)).astype(compute_dtype)
 
+    # Run the block stack at T rounded up to the flash-block granularity:
+    # padding ONCE here (and masking padded keys structurally) is what keeps
+    # every per-layer flash call pad-free — at T=1500 the per-call q/k/v
+    # repads were 18 full-tensor HBM copies per encoder pass (~12 ms device
+    # time at B=64 base). Padded rows carry garbage (LN emits its bias) but
+    # never reach valid rows: keys are masked, and every other op is rowwise.
+    t_valid = x.shape[1]
+    t_run = -(-t_valid // 128) * 128
+    if t_run != t_valid:
+        x = jnp.pad(x, ((0, 0), (0, t_run - t_valid), (0, 0)))
+
     for block in p["blocks"]:
         # self-attention
         res = x
         h = layer_norm(block["attn_ln"], x)
         q, k, v = _mha_project_qkv(block["attn"], h)
-        att, _ = qkv_attention(q, k, v, dims.n_audio_head)
+        att, _ = qkv_attention(
+            q, k, v, dims.n_audio_head,
+            kv_valid_len=t_valid if t_run != t_valid else None,
+        )
         x = res + linear(block["attn"]["out"], att)
         # mlp
         res = x
@@ -240,6 +259,7 @@ def encoder_apply(
         h = _gelu(linear(block["mlp"]["fc1"], h))
         x = res + linear(block["mlp"]["fc2"], h)
 
+    x = x[:, :t_valid] if t_run != t_valid else x
     return layer_norm(p["ln_post"], x)
 
 

@@ -165,15 +165,17 @@ def quantize_kv_rows(x: jnp.ndarray):
     (measured 322 vs 675 GiB/s at T=1500), and the key-blocked kernel needs a
     128-divisible key axis. Padded keys MUST be masked by the consumer
     (decode_attention_i8's valid_upto)."""
-    xf = x.astype(jnp.float32)
-    t = xf.shape[-2]
+    t = x.shape[-2]
     t_pad = ((t + 127) // 128) * 128
     if t_pad != t:
-        pad = [(0, 0)] * (xf.ndim - 2) + [(0, t_pad - t), (0, 0)]
-        xf = jnp.pad(xf, pad)
-    m = jnp.max(jnp.abs(xf), axis=-1)
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, t_pad - t), (0, 0)]
+        x = jnp.pad(x, pad)
+    # convert-on-the-fly: padding/reducing in the source dtype keeps XLA from
+    # materializing a full fp32 copy of the K/V (measured 2.3 ms per 600 MB
+    # bf16 tensor at B=64 base — two extra HBM round-trips of 1.2 GB f32)
+    m = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1)
     scale = jnp.maximum(m, 1e-20) / 127.0
-    xi = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    xi = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
     return xi, scale
 
 

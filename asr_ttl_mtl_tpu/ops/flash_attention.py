@@ -192,6 +192,13 @@ def _default_blocks(tq: int, tk: int, causal: bool, itemsize: int = 2) -> tuple:
     bk = min(_round_up(tk, 128), 2048 if wide else 1024)
     budget = (6 if wide else 3) * 1024 * 1024  # fp32 score tile bytes
     bq = max(128, min(_round_up(tq, 128), budget // 4 // bk // 128 * 128))
+    # prefer the largest in-budget block that divides the 128-rounded query
+    # length: a non-dividing block re-pads q/k/v to the block multiple in HBM
+    # (e.g. tq=1536 with bq=1024 would copy everything out to 2048)
+    tq128 = _round_up(tq, 128)
+    for cand in range(bq, 127, -128):
+        if tq128 % cand == 0:
+            return cand, bk
     return bq, bk
 
 
