@@ -804,7 +804,15 @@ class DecodingTask:
                 feats, cross_kv, initial, rng_seed, fused_mel=fused_mel
             )
 
-        # rank within each group and assemble results (decoding.py:739-789)
+        feats_np = (
+            np.asarray(feats) if self.options.return_audio_features else None
+        )
+        return self._finalize(tokens, sum_logprobs, no_speech_probs, languages, feats_np)
+
+    def _finalize(self, tokens, sum_logprobs, no_speech_probs, languages,
+                  feats_np=None) -> List[DecodingResult]:
+        """Rank within each group and assemble results (decoding.py:739-789)."""
+        tokenizer = self.tokenizer
         selected = MaximumLikelihoodRanker(self.options.length_penalty).rank(
             tokens, sum_logprobs
         )
@@ -813,9 +821,6 @@ class DecodingTask:
         final_sum_lp = [lp[i] for i, lp in zip(selected, sum_logprobs)]
         avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(final_tokens, final_sum_lp)]
 
-        feats_np = (
-            np.asarray(feats) if self.options.return_audio_features else None
-        )
         return [
             DecodingResult(
                 audio_features=feats_np[i] if feats_np is not None else None,
@@ -827,11 +832,65 @@ class DecodingTask:
                 temperature=self.options.temperature,
                 compression_ratio=compression_ratio(texts[i]),
             )
-            for i in range(n_audio)
+            for i in range(len(tokens))
         ]
+
+    def submit(self, mel: jnp.ndarray, rng_seed: int = 0):
+        """Dispatch one batch's fused greedy program WITHOUT waiting.
+
+        JAX dispatch is asynchronous — run()'s only sync point is the result
+        fetch — so submitting batch i+1 before collecting batch i overlaps
+        its device execution with batch i's fetch round-trip and host
+        assembly (a remote-attached chip otherwise idles tens of ms between
+        sequential run() calls). Returns an opaque handle for collect().
+        Paths outside the fused single-program greedy mode (beam, language
+        detection, lang_id, return_audio_features) fall back to an eager
+        run() inside submit, so submit/collect is always safe to use.
+        """
+        mel = jnp.asarray(mel)
+        fused_ok = (
+            self.options.task != "lang_id"
+            and self.options.language is not None
+            and self.options.beam_size is None
+            and not self.options.return_audio_features
+            and mel.shape[-2:]
+            != (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state)
+        )
+        if not fused_ok:
+            return ("done", self.run(mel, rng_seed))
+        n_audio = mel.shape[0]
+        initial = np.tile(np.asarray(self.initial_tokens, np.int32), (n_audio, 1))
+        try:
+            arrays, meta = self._dispatch_greedy(initial, rng_seed, mel)
+        except Exception:
+            # compile-time kernel failures surface here: reuse run()'s
+            # fallback-and-retry logic by re-running eagerly
+            return ("done", self.run(mel, rng_seed))
+        return ("greedy", arrays, meta, mel, rng_seed)
+
+    def collect(self, pending) -> List[DecodingResult]:
+        """Fetch + assemble the results of a submit()ed batch."""
+        if pending[0] == "done":
+            return pending[1]
+        _, arrays, meta, mel, rng_seed = pending
+        try:
+            tokens, sum_logprobs, no_speech_probs = self._assemble_greedy(*arrays, *meta)
+        except Exception:
+            # async launch failures surface at fetch time; run() owns the
+            # kernel-fallback policy (and re-raises non-kernel errors)
+            return self.run(mel, rng_seed)
+        languages = [self.options.language] * mel.shape[0]
+        return self._finalize(tokens, sum_logprobs, no_speech_probs, languages)
 
     def _run_greedy(self, feats, cross_kv, initial: np.ndarray, rng_seed: int,
                     fused_mel=None):
+        arrays, meta = self._dispatch_greedy(
+            initial, rng_seed, fused_mel, feats=feats, cross_kv=cross_kv
+        )
+        return self._assemble_greedy(*arrays, *meta)
+
+    def _dispatch_greedy(self, initial: np.ndarray, rng_seed: int,
+                         fused_mel=None, feats=None, cross_kv=None):
         n_audio = initial.shape[0]
         n_group = self.n_group
         if n_group > 1:  # best-of-N sampling: replicate token rows only —
@@ -868,9 +927,7 @@ class DecodingTask:
             buf, sum_lp, ns_probs, n_sampled = loop(
                 self.model.params, cross_kv, padded, *scalars
             )
-        return self._assemble_greedy(
-            buf, sum_lp, ns_probs, n_sampled, n_audio, n_group, valid_len
-        )
+        return (buf, sum_lp, ns_probs, n_sampled), (n_audio, n_group, valid_len)
 
     def _assemble_greedy(self, buf, sum_lp, ns_probs, n_sampled,
                          n_audio: int, n_group: int, valid_len: int):

@@ -595,6 +595,13 @@ def transcribe_batch(
         task = tasks.get(t)
         if task is None:
             task = tasks[t] = DecodingTask(model, options)
+        pending: List[tuple] = []  # (group, submit handle), ≤2 in flight
+
+        def drain_one() -> None:
+            group, handle = pending.pop(0)
+            for k, res in zip(group, task.collect(handle)):
+                results[k] = res
+
         for i in range(0, len(indices), batch_size):
             group = indices[i : i + batch_size]
             chunk = [windows[k].mel for k in group]
@@ -605,10 +612,16 @@ def transcribe_batch(
                 chunk += [np.zeros_like(chunk[0])] * (batch_size - len(chunk))
             if mesh is not None:
                 out = decode_batched_dp(model, np.stack(chunk), options, mesh=mesh)
+                for k, res in zip(group, out):
+                    results[k] = res
             else:
-                out = task.run(jnp.asarray(np.stack(chunk)))
-            for k, res in zip(group, out):
-                results[k] = res
+                # depth-2 dispatch pipeline: the next chunk's device work
+                # overlaps this chunk's fetch round-trip + host assembly
+                pending.append((group, task.submit(jnp.asarray(np.stack(chunk)))))
+                if len(pending) >= 2:
+                    drain_one()
+        while pending:
+            drain_one()
 
     results: List[Optional[DecodingResult]] = [None] * len(windows)
     decode_subset(list(range(len(windows))), ladder[0])

@@ -72,9 +72,16 @@ def main():
     task.run(mels, rng_seed=99)
 
     n_iters = 5 if on_tpu else 2
+    # depth-2 submit/collect pipeline: batch i+1's device execution overlaps
+    # batch i's result fetch + host assembly (sequential run() leaves the
+    # remote-attached chip idle for the fetch round-trip every call)
     t0 = time.time()
-    for i in range(n_iters):
-        results = task.run(mels, rng_seed=i)
+    pending = task.submit(mels, rng_seed=0)
+    for i in range(1, n_iters):
+        nxt = task.submit(mels, rng_seed=i)
+        results = task.collect(pending)
+        pending = nxt
+    results = task.collect(pending)
     elapsed = time.time() - t0
 
     audio_seconds = BATCH * CHUNK_SECONDS * n_iters

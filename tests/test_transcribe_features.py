@@ -349,17 +349,18 @@ def test_batch_ladder_fallback_matches_sequential(batch_model, short_waves):
     should_fail = [lp < threshold for lp in lps]
     assert any(should_fail) and not all(should_fail)
 
-    # spy on DecodingTask.run to verify only the failed subset is re-decoded
+    # spy on DecodingTask.submit (the batch path's dispatch point — run() is
+    # only its eager fallback) to verify only the failed subset is re-decoded
     from asr_ttl_mtl_tpu.decoding import DecodingTask
 
     calls = []
-    orig_run = DecodingTask.run
+    orig_submit = DecodingTask.submit
 
     def spy(self, mel, rng_seed=0):
         calls.append((float(self.options.temperature), int(mel.shape[0])))
-        return orig_run(self, mel, rng_seed)
+        return orig_submit(self, mel, rng_seed)
 
-    DecodingTask.run = spy
+    DecodingTask.submit = spy
     try:
         ladder = (0.0, 0.8)
         outs = transcribe_batch(
@@ -367,7 +368,7 @@ def test_batch_ladder_fallback_matches_sequential(batch_model, short_waves):
             logprob_threshold=threshold, **base,
         )
     finally:
-        DecodingTask.run = orig_run
+        DecodingTask.submit = orig_submit
 
     seqs = _seq_all(
         model, short_waves, temperature=ladder, logprob_threshold=threshold,
