@@ -47,6 +47,15 @@ if TYPE_CHECKING:
 _PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
 
+def _frames_to_sec(frames) -> float:
+    """Mel frames -> seconds (one frame = HOP_LENGTH/SAMPLE_RATE = 10 ms)."""
+    return float(frames * HOP_LENGTH / SAMPLE_RATE)
+
+
+def _sec_to_frames(seconds) -> int:
+    return round(seconds * FRAMES_PER_SECOND)
+
+
 # ---------------------------------------------------------------------------
 # quality gates + temperature ladder (reference transcribe.py:184-224)
 # ---------------------------------------------------------------------------
@@ -237,9 +246,7 @@ def _drop_hallucinated_tail(
                 if content_duration - segment["end"] < threshold:
                     resume_at = content_frames  # hallucinated coda: stop here
                 else:
-                    resume_at = round(
-                        max(time_offset + 1, segment["start"]) * FRAMES_PER_SECOND
-                    )
+                    resume_at = _sec_to_frames(max(time_offset + 1, segment["start"]))
                 del segments[index:]
                 return resume_at
         prev_speech_end = segment["end"]
@@ -260,7 +267,7 @@ def _parse_clip_ranges(
         clip_timestamps = (
             [float(t) for t in clip_timestamps.split(",")] if clip_timestamps else []
         )
-    edges = [round(t * FRAMES_PER_SECOND) for t in clip_timestamps] or [0]
+    edges = [_sec_to_frames(t) for t in clip_timestamps] or [0]
     if len(edges) % 2:
         edges = edges + [content_frames]
     return list(zip(edges[::2], edges[1::2]))
@@ -295,7 +302,7 @@ def transcribe(
     # mel for the whole file plus 30s of trailing silence for the last window
     mel = np.asarray(log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES))
     content_frames = mel.shape[-1] - N_FRAMES
-    content_duration = float(content_frames * HOP_LENGTH / SAMPLE_RATE)
+    content_duration = _frames_to_sec(content_frames)
 
     language = decode_options.get("language")
     if language is None:
@@ -356,10 +363,10 @@ def transcribe(
         for clip_start, clip_end in _parse_clip_ranges(clip_timestamps, content_frames):
             seek = clip_start
             while seek < clip_end:
-                time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
-                window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
+                time_offset = _frames_to_sec(seek)
+                window_end_time = _frames_to_sec(seek + N_FRAMES)
                 segment_size = min(N_FRAMES, content_frames - seek, clip_end - seek)
-                segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+                segment_duration = _frames_to_sec(segment_size)
                 mel_segment = pad_or_trim(
                     mel[:, seek : seek + segment_size], N_FRAMES, axis=-1
                 ).astype(np.float32)
@@ -417,7 +424,7 @@ def transcribe(
                         spoken_until = get_end(current_segments)
                         if spoken_until is not None and spoken_until > time_offset:
                             # resume right after the last timed word
-                            seek = round(spoken_until * FRAMES_PER_SECOND)
+                            seek = _sec_to_frames(spoken_until)
 
                     if hallucination_silence_threshold is not None:
                         threshold = hallucination_silence_threshold
@@ -425,7 +432,7 @@ def transcribe(
                             spoken_until = get_end(current_segments)
                             if spoken_until is not None and spoken_until > time_offset:
                                 if window_end_time - spoken_until > threshold:
-                                    seek = round(spoken_until * FRAMES_PER_SECOND)
+                                    seek = _sec_to_frames(spoken_until)
                                 else:
                                     seek = previous_seek + segment_size
 
@@ -435,7 +442,7 @@ def transcribe(
                         if leading is not None and _is_hallucination(leading):
                             gap = leading["start"] - time_offset
                             if gap > threshold:
-                                seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                                seek = previous_seek + _sec_to_frames(gap)
                                 continue
 
                         resume_at = _drop_hallucinated_tail(
@@ -641,7 +648,7 @@ def transcribe_batch(
         if no_speech_threshold is not None and gates.silent_window(res):
             window_segments.append([])
             continue
-        time_offset = win.seek * HOP_LENGTH / SAMPLE_RATE
+        time_offset = _frames_to_sec(win.seek)
 
         def make(start, end, tokens, _win=win, _res=res):
             return _build_segment(
@@ -654,7 +661,7 @@ def transcribe_batch(
             tokenizer,
             time_offset=time_offset,
             time_precision=time_precision,
-            segment_duration=win.size * HOP_LENGTH / SAMPLE_RATE,
+            segment_duration=_frames_to_sec(win.size),
             segment_size=win.size,
             input_stride=input_stride,
             make=make,
