@@ -46,9 +46,10 @@ def main():
 
     model = from_random("base", seed=0, compute_dtype=compute_dtype)
 
-    # B=64 amortizes the encoder + per-dispatch overhead better than B=32
-    # (measured 6470 vs ~6000 audio-s/s on a v5e) while still fitting HBM
-    BATCH = 64 if on_tpu else 4
+    # B=192 amortizes the fixed per-program launch overhead best: measured
+    # 8669 (B=64) / 9306 (96) / 9393 (128) / 9768 (192) / 9730 (256)
+    # audio-s/s on a v5e — the curve peaks at 192 while still fitting HBM
+    BATCH = 192 if on_tpu else 4
     DECODE_TOKENS = 64
     CHUNK_SECONDS = 30.0
 
