@@ -166,6 +166,8 @@ class MultiTaskTrainer:
         self._rng = jax.random.PRNGKey(config.seed + 1)
         self._train_step = None
         self._train_scan_steps: Dict[int, Any] = {}
+        self._packed_scan_steps: Dict[int, Any] = {}
+        self._pack_spec = None
         self._eval_step = None
         self._log(
             f"Trainer ready: dims={self.model.dims}, mesh={dict(self.mesh.shape)}, "
@@ -350,48 +352,117 @@ class MultiTaskTrainer:
         self._train_step = jax.jit(step, donate_argnums=(0, 1))
         return self._train_step
 
-    def _get_train_scan_step(self, k: int):
-        """k training steps in ONE jitted program (lax.scan over stacked
-        batches). Per-dispatch overhead scales with the number of buffer
-        handles (~500 for params+optimizer), which on a remote-attached TPU
-        costs more than the compute itself — batching k steps per dispatch
-        amortizes it k-fold and lets XLA pipeline the H2D copies."""
-        if k in self._train_scan_steps:
-            return self._train_scan_steps[k]
+    def _kstep_core(self, trainable, opt_state, audio, input_tokens,
+                    target_tokens, classes, alpha, beta, rng, n_valids):
+        """k training steps via lax.scan over stacked (k, B, ...) batches.
+        The carried rng chains split() exactly like the host does between
+        single-step calls, so fused and single-step training are
+        bit-identical (tests/test_mtl.py)."""
         optimizer = self.optimizer
 
-        def kstep(trainable, opt_state, audio, input_tokens, target_tokens,
-                  classes, alpha, beta, rng, n_valids):
-            # stacked leading axis: (k, B, ...). The carried rng chains
-            # split() exactly like the host does between single-step calls,
-            # so fused and single-step training are bit-identical.
-            def body(carry, xs):
-                tr, opt, rng = carry
-                a_i, it_i, tt_i, cl_i, nv_i = xs
-                rng, sub = jax.random.split(rng)
+        def body(carry, xs):
+            tr, opt, rng = carry
+            a_i, it_i, tt_i, cl_i, nv_i = xs
+            rng, sub = jax.random.split(rng)
 
-                def loss_fn(tr):
-                    cls_loss, trans_loss, aux = self._forward(
-                        tr, a_i, it_i, tt_i, cl_i, sub, train=True, n_valid=nv_i
-                    )
-                    a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
-                    combined = a * cls_loss + b * trans_loss
-                    aux.update({"alpha_eff": a, "beta_eff": b})
-                    return combined, aux
+            def loss_fn(tr):
+                cls_loss, trans_loss, aux = self._forward(
+                    tr, a_i, it_i, tt_i, cl_i, sub, train=True, n_valid=nv_i
+                )
+                a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
+                combined = a * cls_loss + b * trans_loss
+                aux.update({"alpha_eff": a, "beta_eff": b})
+                return combined, aux
 
-                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(tr)
-                updates, opt = optimizer.update(grads, opt, tr)
-                tr = optax.apply_updates(tr, updates)
-                return (tr, opt, rng), (loss, aux)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(tr)
+            updates, opt = optimizer.update(grads, opt, tr)
+            tr = optax.apply_updates(tr, updates)
+            return (tr, opt, rng), (loss, aux)
 
-            (trainable, opt_state, rng), (losses, auxs) = jax.lax.scan(
-                body, (trainable, opt_state, rng),
-                (audio, input_tokens, target_tokens, classes, n_valids),
-            )
-            return trainable, opt_state, rng, losses, auxs
+        (trainable, opt_state, rng), (losses, auxs) = jax.lax.scan(
+            body, (trainable, opt_state, rng),
+            (audio, input_tokens, target_tokens, classes, n_valids),
+        )
+        return trainable, opt_state, rng, losses, auxs
 
-        fn = jax.jit(kstep, donate_argnums=(0, 1))
+    def _get_train_scan_step(self, k: int):
+        """k training steps in ONE jitted program. Per-dispatch overhead
+        scales with the number of buffer handles (~500 for params+optimizer),
+        which on a remote-attached TPU costs more than the compute itself —
+        batching k steps per dispatch amortizes it k-fold and lets XLA
+        pipeline the H2D copies."""
+        if k in self._train_scan_steps:
+            return self._train_scan_steps[k]
+        fn = jax.jit(self._kstep_core, donate_argnums=(0, 1))
         self._train_scan_steps[k] = fn
+        return fn
+
+    # --- packed-state dispatch ---------------------------------------------
+    # The remaining per-dispatch cost after k-step fusion is marshalling the
+    # ~500 param+optimizer buffer handles (~0.6 ms each through the tunnel).
+    # Packing the whole train state into ONE flat device buffer per dtype
+    # cuts a dispatch to a handful of handles; the jitted program unpacks
+    # (static slices, which XLA aliases) and repacks (one HBM copy of the
+    # state, ~1 ms) around the identical _kstep_core — bit-identical results.
+    # Single-device only: a flat concat cannot carry per-leaf NamedShardings.
+
+    def _use_packed_dispatch(self, k_max: int) -> bool:
+        if self.mesh.size > 1 or k_max < 1:
+            return False
+        configured = getattr(self.config, "packed_dispatch", None)
+        if configured is not None:
+            return bool(configured)
+        return jax.default_backend() == "tpu"
+
+    def _state_pack_spec(self):
+        """(treedef, per-leaf (dtype_key, offset, shape), total sizes)."""
+        if getattr(self, "_pack_spec", None) is not None:
+            return self._pack_spec
+        leaves, treedef = jax.tree_util.tree_flatten(
+            (self._trainable(), self.opt_state)
+        )
+        totals: Dict[str, int] = {}
+        entries = []
+        for leaf in leaves:
+            dt = str(leaf.dtype)
+            off = totals.get(dt, 0)
+            entries.append((dt, off, tuple(leaf.shape)))
+            totals[dt] = off + int(np.prod(leaf.shape or (1,)))
+        self._pack_spec = (treedef, tuple(entries), dict(totals))
+        return self._pack_spec
+
+    def _pack_tree(self, state):
+        """(trainable, opt_state) -> {dtype: flat 1-D buffer} (traceable)."""
+        _, entries, _ = self._state_pack_spec()
+        groups: Dict[str, list] = {}
+        for leaf, (dt, _, _) in zip(jax.tree_util.tree_leaves(state), entries):
+            groups.setdefault(dt, []).append(jnp.ravel(leaf))
+        return {dt: jnp.concatenate(parts) for dt, parts in groups.items()}
+
+    def _unpack_tree(self, bufs):
+        """{dtype: flat buffer} -> (trainable, opt_state) (traceable)."""
+        treedef, entries, _ = self._state_pack_spec()
+        leaves = []
+        for dt, off, shape in entries:
+            size = int(np.prod(shape or (1,)))
+            leaves.append(jax.lax.slice(bufs[dt], (off,), (off + size,)).reshape(shape))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def _get_packed_scan_step(self, k: int):
+        if k in self._packed_scan_steps:
+            return self._packed_scan_steps[k]
+
+        def pkstep(bufs, audio, input_tokens, target_tokens, classes,
+                   alpha, beta, rng, n_valids):
+            trainable, opt_state = self._unpack_tree(bufs)
+            trainable, opt_state, rng, losses, auxs = self._kstep_core(
+                trainable, opt_state, audio, input_tokens, target_tokens,
+                classes, alpha, beta, rng, n_valids,
+            )
+            return self._pack_tree((trainable, opt_state)), rng, losses, auxs
+
+        fn = jax.jit(pkstep, donate_argnums=(0,))
+        self._packed_scan_steps[k] = fn
         return fn
 
     def _get_eval_step(self):
@@ -494,6 +565,8 @@ class MultiTaskTrainer:
         k_max = self.config.steps_per_call or (
             8 if jax.default_backend() == "tpu" else 1
         )
+        use_packed = self._use_packed_dispatch(k_max)
+        packed_state = None  # {dtype: flat buffer} once first packed
 
         def collect(batch, loss, aux, n_valid):
             nonlocal n_batches
@@ -531,15 +604,9 @@ class MultiTaskTrainer:
                 loss = jax.block_until_ready(loss)
             collect(batch, loss, aux, n_valid)
 
-        def run_group(group):
-            # k same-shape optimizer steps fused into one dispatch; partial
-            # groups fall back to singles — each distinct k would compile its
-            # own program (minutes on a remote-attached chip)
-            nonlocal trainable, opt_state
-            if len(group) < k_max:
-                for b in group:
-                    run_single(b)
-                return
+        def dispatch_group(group):
+            # one fused k=len(group) dispatch (packed state when enabled)
+            nonlocal trainable, opt_state, packed_state
             n = sum(len(b["classes"]) for b in group)
             dp = self.mesh.shape.get("dp", 1)
             with timer.step(samples=n,
@@ -558,20 +625,44 @@ class MultiTaskTrainer:
                     if key == "audio":
                         v = self._audio_for_transfer(v)
                     dev[key] = jax.device_put(v, stacked_data_sharding(self.mesh, v.ndim))
-                scan_fn = self._get_train_scan_step(len(group))
                 n_valids = np.asarray([len(b["classes"]) for b in group], np.int32)
-                trainable, opt_state, self._rng, losses, auxs = scan_fn(
-                    trainable, opt_state,
-                    dev["audio"], dev["input_tokens"], dev["target_tokens"],
-                    dev["classes"],
-                    jnp.asarray(self.alpha, _F32), jnp.asarray(self.beta, _F32),
-                    self._rng, n_valids,
-                )
+                scalars = (jnp.asarray(self.alpha, _F32),
+                           jnp.asarray(self.beta, _F32), self._rng, n_valids)
+                if use_packed:
+                    if packed_state is None:
+                        packed_state = jax.jit(self._pack_tree)((trainable, opt_state))
+                    pscan_fn = self._get_packed_scan_step(len(group))
+                    packed_state, self._rng, losses, auxs = pscan_fn(
+                        packed_state, dev["audio"], dev["input_tokens"],
+                        dev["target_tokens"], dev["classes"], *scalars,
+                    )
+                else:
+                    scan_fn = self._get_train_scan_step(len(group))
+                    trainable, opt_state, self._rng, losses, auxs = scan_fn(
+                        trainable, opt_state,
+                        dev["audio"], dev["input_tokens"], dev["target_tokens"],
+                        dev["classes"], *scalars,
+                    )
             # results stay ON DEVICE until epoch end: fetching here would
             # serialize every dispatch against the previous group's compute
             # and H2D (the timer above therefore measures submission, not
             # execution; epoch_seconds is the honest wall number)
             deferred.append((group, losses, auxs))
+
+        def run_group(group):
+            # k same-shape optimizer steps fused into one dispatch. Partial
+            # groups fall back to k=1 dispatches (packed mode — the k=1
+            # program compiles per shape bucket exactly like the single-step
+            # program would) or to run_single; each distinct k>1 would
+            # compile its own program (minutes on a remote-attached chip)
+            if len(group) == k_max:
+                dispatch_group(group)
+            elif use_packed:
+                for b in group:
+                    dispatch_group([b])
+            else:
+                for b in group:
+                    run_single(b)
 
         with trace_ctx:
             deferred = []
@@ -582,7 +673,7 @@ class MultiTaskTrainer:
                 first_dynamic = n_batches == 0 and not pending and (
                     self.alpha == 0.0 or self.beta == 0.0
                 ) and not self.config.true_dynamic_weights
-                if first_dynamic or k_max == 1:
+                if first_dynamic or (k_max == 1 and not use_packed):
                     run_single(batch)
                     continue
                 shape = (batch["audio"].shape, batch["input_tokens"].shape)
@@ -610,6 +701,8 @@ class MultiTaskTrainer:
                 f"audio-sec/sec/chip {s.get('audio_sec_per_sec_per_chip', 0):.1f}"
             )
 
+        if packed_state is not None:
+            trainable, opt_state = jax.jit(self._unpack_tree)(packed_state)
         self._set_trainable(trainable)
         self.opt_state = opt_state
 

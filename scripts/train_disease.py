@@ -59,6 +59,15 @@ def parse_args():
                         "bytes), or float32 waveforms")
     p.add_argument("--dp", type=int, default=0, help="data-parallel mesh size (0=all)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    p.add_argument("--steps_per_call", type=int, default=0,
+                   help="optimizer steps fused into one dispatch via "
+                        "lax.scan (0 = auto: 8 on TPU, 1 elsewhere)")
+    p.add_argument("--packed_dispatch", type=lambda v: v.lower() == "true",
+                   default=None, metavar="True/False",
+                   help="pack the params+optimizer state into flat per-dtype "
+                        "buffers so each fused dispatch ships a handful of "
+                        "buffer handles instead of ~500 (default: auto — on "
+                        "for single-device TPU; bit-identical results)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume_dir", type=str, default=None,
                    help="directory for full-state epoch checkpoints; if it already "
@@ -89,6 +98,8 @@ def main():
         num_workers=args.num_workers,
         audio_transfer_dtype=args.audio_transfer_dtype,
         mesh_shape=(args.dp, args.tp),
+        steps_per_call=args.steps_per_call,
+        packed_dispatch=args.packed_dispatch,
         seed=args.seed,
     )
 

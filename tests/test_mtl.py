@@ -386,6 +386,34 @@ def test_fused_scan_steps_match_single_steps(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_packed_dispatch_matches_unpacked(tmp_path):
+    """packed_dispatch (flat per-dtype state buffers, unpack/repack inside
+    the jitted program) must train bit-identically to the unpacked path —
+    including the one-shot dynamic-weight first step (runs unpacked, then
+    the state packs) and a partial tail group (packed k=1 dispatches)."""
+    csv = _write_dataset(tmp_path, n=12)
+    out = {}
+    for tag, packed in (("unpacked", False), ("packed", True)):
+        cfg = _config(tmp_path, csv, epochs=1, alpha=0.0, beta=0.0,
+                      save_dir=str(tmp_path / tag), steps_per_call=2,
+                      packed_dispatch=packed)
+        tr = MultiTaskTrainer(cfg, verbose=False)
+        ds = MultiTaskSpeechDataset(csv, cfg)
+        loader = DataLoader(ds, batch_size=4, num_workers=1, buckets=cfg.token_buckets)
+        m = tr.train_epoch(loader, 0)
+        out[tag] = (m, tr)
+    m_u, tr_u = out["unpacked"]
+    m_p, tr_p = out["packed"]
+    assert m_p["loss"] == m_u["loss"]
+    assert (m_p["alpha"], m_p["beta"]) == (m_u["alpha"], m_u["beta"])
+    for a, b in zip(jax.tree.leaves(tr_u._trainable()),
+                    jax.tree.leaves(tr_p._trainable())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr_u.opt_state),
+                    jax.tree.leaves(tr_p.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_int16_audio_transfer_lossless_for_pcm(tmp_path):
     """int16 transfer round-trips 16-bit-PCM-sourced waveforms exactly and
     trains to the same loss as float32 transfer on such data."""
