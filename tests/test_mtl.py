@@ -44,6 +44,36 @@ def test_cer_basic():
     assert M.cer(["a  b"], ["a b"]) == 0.0
 
 
+def test_edit_distance_matches_classic_dp():
+    """The bit-parallel Levenshtein (metrics._edit_distance) must equal the
+    textbook O(nm) DP on random word and character sequences, including the
+    >64-symbol case where the bitvectors span multiple big-int words."""
+    import random
+
+    def dp(ref, hyp):
+        if not ref or not hyp:
+            return len(ref) or len(hyp)
+        prev = list(range(len(hyp) + 1))
+        for i, r in enumerate(ref, 1):
+            cur = [i] + [0] * len(hyp)
+            for j, h in enumerate(hyp, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (r != h))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(0)
+    words = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran"]
+    for _ in range(300):
+        n, m = rng.randrange(0, 10), rng.randrange(0, 10)
+        ref = [rng.choice(words) for _ in range(n)]
+        hyp = [rng.choice(words) for _ in range(m)]
+        assert M._edit_distance(ref, hyp) == dp(ref, hyp)
+    for n, m in [(70, 130), (130, 70), (200, 200), (1, 100), (100, 1)]:
+        ref = [rng.choice("abcdef ") for _ in range(n)]
+        hyp = [rng.choice("abcdef ") for _ in range(m)]
+        assert M._edit_distance(ref, hyp) == dp(ref, hyp)
+
+
 def test_classification_metrics():
     labels = [0, 0, 1, 1, 2, 2]
     preds = [0, 0, 1, 2, 2, 2]
