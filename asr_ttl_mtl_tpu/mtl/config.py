@@ -96,13 +96,15 @@ class TrainingConfig:
     # bf16 compute noise); computed in the loader's producer thread so it
     # overlaps training (audio.log_mel_for_transfer).
     audio_transfer_dtype: str = "int16"
-    # pack the ~500-leaf params+optimizer state into one flat device buffer
-    # per dtype so each fused dispatch marshals a handful of buffer handles
-    # instead of ~500 (~0.6 ms/handle on a remote-attached chip). Unpack and
-    # repack happen inside the jitted program (static slices + one HBM copy
-    # of the state). Bit-identical to unpacked dispatch. None = auto: on for
-    # single-device TPU training; a >1-device mesh always runs unpacked
-    # (a flat concat cannot carry per-leaf NamedShardings).
+    # pack the ~500-leaf params+optimizer state into one lane-aligned
+    # (rows, 128) device buffer per dtype so each fused dispatch marshals a
+    # handful of buffer handles instead of ~500. Unpack and repack happen
+    # inside the jitted program; bit-identical to unpacked dispatch.
+    # Default OFF: measured SLOWER through the axon tunnel (the donated
+    # packed buffers re-layout server-side every call — see
+    # trainer._use_packed_dispatch); opt in with True on directly-attached
+    # hosts. A >1-device mesh always runs unpacked (a flat concat cannot
+    # carry per-leaf NamedShardings).
     packed_dispatch: Optional[bool] = None
 
 

@@ -407,15 +407,28 @@ class MultiTaskTrainer:
     # Single-device only: a flat concat cannot carry per-leaf NamedShardings.
 
     def _use_packed_dispatch(self, k_max: int) -> bool:
+        # Opt-in only: measured SLOWER through the tunnel (tiny bs=16 48-step
+        # epoch wall 11.4 s packed vs 2.4 s unpacked, steady-state) — the
+        # donated packed buffers re-layout server-side on every call, which
+        # costs far more than the ~500-handle dispatch overhead it removes
+        # (that overhead overlaps with device compute in the deferred
+        # pipeline anyway). Kept behind TrainingConfig.packed_dispatch=True
+        # for directly-attached hosts where the tradeoff may differ.
         if self.mesh.size > 1 or k_max < 1:
             return False
-        configured = getattr(self.config, "packed_dispatch", None)
-        if configured is not None:
-            return bool(configured)
-        return jax.default_backend() == "tpu"
+        return bool(getattr(self.config, "packed_dispatch", None))
 
     def _state_pack_spec(self):
-        """(treedef, per-leaf (dtype_key, offset, shape), total sizes)."""
+        """(treedef, per-leaf (dtype_key, row_offset, shape), rows/dtype).
+
+        Buffers are (rows, 128) 2-D arrays with every leaf's slot padded to
+        a 128-element (one-row) boundary. A single flat 1-D buffer does NOT
+        work on TPU: the total f32 element count is odd-sized, and XLA
+        factorizes large 1-D arrays into a 2-D tiled layout using the
+        smallest factor — here f32[37260675, 3], whose (8,128) tiling pads
+        the minor dim 3 -> 128 and transiently allocates 19 GB at compile.
+        An explicit lane-aligned (rows, 128) shape keeps the layout exact.
+        """
         if getattr(self, "_pack_spec", None) is not None:
             return self._pack_spec
         leaves, treedef = jax.tree_util.tree_flatten(
@@ -425,27 +438,35 @@ class MultiTaskTrainer:
         entries = []
         for leaf in leaves:
             dt = str(leaf.dtype)
-            off = totals.get(dt, 0)
-            entries.append((dt, off, tuple(leaf.shape)))
-            totals[dt] = off + int(np.prod(leaf.shape or (1,)))
+            row = totals.get(dt, 0)
+            entries.append((dt, row, tuple(leaf.shape)))
+            size = int(np.prod(leaf.shape or (1,)))
+            totals[dt] = row + (size + 127) // 128
         self._pack_spec = (treedef, tuple(entries), dict(totals))
         return self._pack_spec
 
     def _pack_tree(self, state):
-        """(trainable, opt_state) -> {dtype: flat 1-D buffer} (traceable)."""
-        _, entries, _ = self._state_pack_spec()
-        groups: Dict[str, list] = {}
-        for leaf, (dt, _, _) in zip(jax.tree_util.tree_leaves(state), entries):
-            groups.setdefault(dt, []).append(jnp.ravel(leaf))
-        return {dt: jnp.concatenate(parts) for dt, parts in groups.items()}
+        """(trainable, opt_state) -> {dtype: (rows, 128) buffer} (traceable)."""
+        _, entries, totals = self._state_pack_spec()
+        bufs = {dt: jnp.zeros((rows, 128), dtype=dt) for dt, rows in totals.items()}
+        for leaf, (dt, row, shape) in zip(jax.tree_util.tree_leaves(state), entries):
+            size = int(np.prod(shape or (1,)))
+            rows = (size + 127) // 128
+            flat = jnp.pad(jnp.ravel(leaf), (0, rows * 128 - size))
+            bufs[dt] = jax.lax.dynamic_update_slice(
+                bufs[dt], flat.reshape(rows, 128), (row, 0)
+            )
+        return bufs
 
     def _unpack_tree(self, bufs):
-        """{dtype: flat buffer} -> (trainable, opt_state) (traceable)."""
+        """{dtype: (rows, 128) buffer} -> (trainable, opt_state) (traceable)."""
         treedef, entries, _ = self._state_pack_spec()
         leaves = []
-        for dt, off, shape in entries:
+        for dt, row, shape in entries:
             size = int(np.prod(shape or (1,)))
-            leaves.append(jax.lax.slice(bufs[dt], (off,), (off + size,)).reshape(shape))
+            rows = (size + 127) // 128
+            seg = jax.lax.slice(bufs[dt], (row, 0), (row + rows, 128))
+            leaves.append(seg.reshape(rows * 128)[:size].reshape(shape))
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def _get_packed_scan_step(self, k: int):

@@ -149,12 +149,15 @@ def epoch_mode():
     clip_seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 7.5
     transfer = sys.argv[4] if len(sys.argv) > 4 else "int16"
     k = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = auto (8 on TPU)
+    # 6th arg: packed-state dispatch — "on"/"off"/"auto" (default auto)
+    packed = {"on": True, "off": False}.get(
+        sys.argv[6] if len(sys.argv) > 6 else "auto")
     B, NBATCH = 16, 48
 
     config = TrainingConfig(model_size=model_size, pretrained="random",
                             batch_size=B, compute_dtype="bfloat16", seed=0,
                             alpha=0.5, beta=0.5, audio_transfer_dtype=transfer,
-                            steps_per_call=k)
+                            steps_per_call=k, packed_dispatch=packed)
     trainer = MultiTaskTrainer(config, verbose=False)
     tok = trainer.tokenizer
     rng = np.random.RandomState(0)
