@@ -297,6 +297,15 @@ def run_beam_search(
 
     With fused_mel, the encoder runs inside the same XLA program as the beam
     loop (one dispatch per window instead of two)."""
+    outs, meta = dispatch_beam(task, feats, cross_kv, initial, fused_mel)
+    return collect_beam(task, outs, meta)
+
+
+def dispatch_beam(task, feats, cross_kv, initial: np.ndarray, fused_mel=None):
+    """Launch the beam program WITHOUT fetching: JAX dispatch is async, so
+    the returned device arrays let DecodingTask.submit()/collect() overlap
+    batch i+1's beam execution with batch i's fetch + host assembly, exactly
+    like the greedy pipeline. Returns (device outputs, assemble metadata)."""
     options = task.options
     K = options.beam_size
     patience = options.patience or 1.0
@@ -330,13 +339,16 @@ def run_beam_search(
             task.model.dims, task.filter_cfg, bucket, sample_len, K, C, task._dtype_name
         )
         outs = loop(task.model.params, cross_kv, padded, *scalars)
-    fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled = outs
+    return outs, (n_audio, K, valid_len)
+
+
+def collect_beam(task, outs, meta):
+    """Fetch (one round trip) + host-assemble a dispatch_beam launch."""
+    n_audio, K, valid_len = meta
     # single-round-trip fetch of all seven outputs (see decoding.fetch_packed)
     from .decoding import fetch_packed
 
-    outs = fetch_packed(
-        fin_tokens, fin_scores, fin_count, live_buf, live_sum_lp, ns_probs, n_sampled
-    )
+    outs = fetch_packed(*outs)
     return assemble_beam_results(outs, n_audio, K, valid_len, task.tokenizer.eot)
 
 

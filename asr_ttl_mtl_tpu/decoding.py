@@ -97,6 +97,13 @@ class DecodingOptions:
     # include features)
     return_audio_features: bool = False
 
+    # run the encoder and the decode loop as ONE fused XLA program (default:
+    # halves dispatch round-trips). Set False to compile them as two smaller
+    # programs — needed when the fused program exceeds a remote compiler's
+    # size limit (e.g. large-v3 at B>=32 through the axon tunnel); both
+    # submit()/collect() pipelining and run() support either mode
+    fuse_encoder: bool = True
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -766,6 +773,7 @@ class DecodingTask:
             self.options.task != "lang_id"
             and self.options.language is not None
             and not self.options.return_audio_features
+            and self.options.fuse_encoder
             and mel.shape[-2:]
             != (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state)
         ):
@@ -836,22 +844,22 @@ class DecodingTask:
         ]
 
     def submit(self, mel: jnp.ndarray, rng_seed: int = 0):
-        """Dispatch one batch's fused greedy program WITHOUT waiting.
+        """Dispatch one batch's fused decode program WITHOUT waiting.
 
         JAX dispatch is asynchronous — run()'s only sync point is the result
         fetch — so submitting batch i+1 before collecting batch i overlaps
         its device execution with batch i's fetch round-trip and host
         assembly (a remote-attached chip otherwise idles tens of ms between
         sequential run() calls). Returns an opaque handle for collect().
-        Paths outside the fused single-program greedy mode (beam, language
-        detection, lang_id, return_audio_features) fall back to an eager
-        run() inside submit, so submit/collect is always safe to use.
+        Both the fused greedy and the fused beam programs pipeline; paths
+        outside them (language detection, lang_id, return_audio_features)
+        fall back to an eager run() inside submit, so submit/collect is
+        always safe to use.
         """
         mel = jnp.asarray(mel)
         fused_ok = (
             self.options.task != "lang_id"
             and self.options.language is not None
-            and self.options.beam_size is None
             and not self.options.return_audio_features
             and mel.shape[-2:]
             != (self.model.dims.n_audio_ctx, self.model.dims.n_audio_state)
@@ -861,7 +869,23 @@ class DecodingTask:
         n_audio = mel.shape[0]
         initial = np.tile(np.asarray(self.initial_tokens, np.int32), (n_audio, 1))
         try:
-            arrays, meta = self._dispatch_greedy(initial, rng_seed, mel)
+            # fuse_encoder=False still pipelines: the encoder dispatch below
+            # is async too — its outputs feed the decode dispatch without a
+            # host sync, just as two programs instead of one
+            fused_mel, feats, cross_kv = mel, None, None
+            if not self.options.fuse_encoder:
+                fused_mel = None
+                feats, cross_kv = self._encode_audio(mel)
+            if self.options.beam_size is not None:
+                from .beam import dispatch_beam
+
+                arrays, meta = dispatch_beam(
+                    self, feats, cross_kv, initial, fused_mel=fused_mel
+                )
+                return ("beam", arrays, meta, mel, rng_seed)
+            arrays, meta = self._dispatch_greedy(
+                initial, rng_seed, fused_mel, feats=feats, cross_kv=cross_kv
+            )
         except Exception:
             # compile-time kernel failures surface here: reuse run()'s
             # fallback-and-retry logic by re-running eagerly
@@ -872,9 +896,16 @@ class DecodingTask:
         """Fetch + assemble the results of a submit()ed batch."""
         if pending[0] == "done":
             return pending[1]
-        _, arrays, meta, mel, rng_seed = pending
+        kind, arrays, meta, mel, rng_seed = pending
         try:
-            tokens, sum_logprobs, no_speech_probs = self._assemble_greedy(*arrays, *meta)
+            if kind == "beam":
+                from .beam import collect_beam
+
+                tokens, sum_logprobs, no_speech_probs = collect_beam(self, arrays, meta)
+            else:
+                tokens, sum_logprobs, no_speech_probs = self._assemble_greedy(
+                    *arrays, *meta
+                )
         except Exception:
             # async launch failures surface at fetch time; run() owns the
             # kernel-fallback policy (and re-raises non-kernel errors)

@@ -102,6 +102,26 @@ def test_beam_search_batched(models):
         assert single.tokens == ref.tokens
 
 
+def test_beam_submit_collect_matches_run(models):
+    """The pipelined beam path (DecodingTask.submit -> collect, used by the
+    batch-serving dispatch pipeline) must produce exactly what a blocking
+    run() produces — same fused program, deferred fetch only."""
+    _, our_model = models
+    mel = jnp.asarray(_mel(batch=3, seed=7))
+    opts = D.DecodingOptions(fp16=False, language="en", beam_size=3,
+                             without_timestamps=True, sample_len=16)
+    task = D.DecodingTask(our_model, opts)
+    pending = task.submit(mel)
+    assert pending[0] == "beam"  # really took the pipelined path
+    got = task.collect(pending)
+    want = task.run(mel)
+    for g, w in zip(got, want):
+        assert g.tokens == w.tokens
+        assert g.text == w.text
+        assert g.avg_logprob == pytest.approx(w.avg_logprob)
+        assert g.no_speech_prob == pytest.approx(w.no_speech_prob)
+
+
 def test_beam_search_length_penalty(models):
     ref_model, our_model = models
     mel = _mel(seed=4)

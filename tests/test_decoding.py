@@ -183,6 +183,30 @@ def test_greedy_decode_batched_matches_reference(models):
         np.testing.assert_allclose(o.avg_logprob, r.avg_logprob, atol=1e-3)
 
 
+def test_fuse_encoder_off_matches_fused(models):
+    """fuse_encoder=False (two smaller XLA programs — the mode for models
+    whose fused program exceeds a remote compiler's size limit) must match
+    the fused single-program path exactly, through run() AND the
+    submit/collect pipeline."""
+    _, our_model = models
+    mel = jnp.asarray(_mel(batch=2, seed=11))
+    fused = D.DecodingTask(
+        our_model, D.DecodingOptions(fp16=False, language="en")
+    ).run(mel)
+    task = D.DecodingTask(
+        our_model, D.DecodingOptions(fp16=False, language="en", fuse_encoder=False)
+    )
+    split = task.run(mel)
+    pending = task.submit(mel)
+    assert pending[0] == "greedy"  # split mode still pipelines
+    piped = task.collect(pending)
+    for f, s, p in zip(fused, split, piped):
+        assert f.tokens == s.tokens == p.tokens
+        assert f.text == s.text == p.text
+        np.testing.assert_allclose(s.avg_logprob, f.avg_logprob, atol=1e-5)
+        np.testing.assert_allclose(p.avg_logprob, f.avg_logprob, atol=1e-5)
+
+
 def test_greedy_decode_with_prompt_parity(models):
     ref_model, our_model = models
     mel = _mel(seed=9)
