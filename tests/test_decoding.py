@@ -183,18 +183,23 @@ def test_greedy_decode_batched_matches_reference(models):
         np.testing.assert_allclose(o.avg_logprob, r.avg_logprob, atol=1e-3)
 
 
-def test_fuse_encoder_off_matches_fused(models):
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_fuse_encoder_off_matches_fused(models, kv_quant):
     """fuse_encoder=False (two smaller XLA programs — the mode for models
     whose fused program exceeds a remote compiler's size limit) must match
     the fused single-program path exactly, through run() AND the
-    submit/collect pipeline."""
+    submit/collect pipeline — including with int8 KV caches (the split
+    encoder program must emit the same quantized cross-KV layout the fused
+    program builds internally)."""
     _, our_model = models
     mel = jnp.asarray(_mel(batch=2, seed=11))
     fused = D.DecodingTask(
-        our_model, D.DecodingOptions(fp16=False, language="en")
+        our_model, D.DecodingOptions(fp16=False, language="en", kv_quant=kv_quant)
     ).run(mel)
     task = D.DecodingTask(
-        our_model, D.DecodingOptions(fp16=False, language="en", fuse_encoder=False)
+        our_model,
+        D.DecodingOptions(fp16=False, language="en", kv_quant=kv_quant,
+                          fuse_encoder=False),
     )
     split = task.run(mel)
     pending = task.submit(mel)
