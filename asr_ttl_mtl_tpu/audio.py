@@ -299,42 +299,56 @@ def log_mel_spectrogram_jax(audio: jnp.ndarray, n_mels: int = 80, padding: int =
     return (log_spec + 4.0) / 4.0
 
 
-def log_mel_for_transfer(wave: np.ndarray, n_mels: int = 80) -> np.ndarray:
+def log_mel_for_transfer(
+    wave: np.ndarray, n_mels: int = 80, full_samples: Optional[int] = None
+) -> np.ndarray:
     """Host-side normalized log-mel of bucket-length waveforms, as fp16 —
     the training pipeline's smallest exact-enough H2D representation.
 
-    For a clip zero-padded to bucket length L, the first L/HOP frames of the
-    full-window (N_SAMPLES) log-mel depend only on samples < L + N_FFT/2, and
-    every later frame is pure zero-padding whose value after the dynamic-range
-    clip is max(per-sample max, -8 dB floor) — reconstructable on device from
-    the shipped frames alone (MultiTaskTrainer._forward). So: compute the mel
-    of wave||0^N_FFT on the host CPU backend with the SAME
-    :func:`log_mel_spectrogram_jax` program, keep the first L/HOP frames, and
-    ship them as fp16 (~1e-3 absolute rounding on values in [-1.5, 2.5] —
-    below bf16 training noise). 4x fewer bytes than fp32 waveforms, 2x fewer
-    than int16.
+    For a clip zero-padded to bucket length L, frames of the full-window
+    (N_SAMPLES) log-mel whose centered STFT windows overlap samples < L are
+    exactly the first L/HOP + 2 (frame f covers [f*HOP - N_FFT/2,
+    f*HOP + N_FFT/2): frames L/HOP and L/HOP + 1 still reach back into the
+    last N_FFT/2 real samples); every later frame is pure zero-padding whose
+    value after the dynamic-range clip is max(per-sample max, -8 dB floor) —
+    reconstructable on device from the shipped frames alone
+    (MultiTaskTrainer._forward). So: compute the mel of wave||0^N_FFT on the
+    host CPU backend with the SAME :func:`log_mel_spectrogram_jax` program,
+    keep the first L/HOP + 2 frames, and ship them as fp16 (~1e-3 absolute
+    rounding on values in [-1.5, 2.5] — below bf16 training noise). 4x fewer
+    bytes than fp32 waveforms, 2x fewer than int16.
     """
     wave = np.asarray(wave, np.float32)
     lead, L = wave.shape[:-1], wave.shape[-1]
     flat = wave.reshape(-1, L)
-    # trailing zeros so every kept frame's window never reflects real samples
-    flat = np.pad(flat, ((0, 0), (0, N_FFT)))
     cpu = jax.devices("cpu")[0]
+    if full_samples is not None and L >= full_samples:
+        # dense clip filling the whole window: the device mel REFLECTS the
+        # true waveform tail at the window boundary (no zero region exists),
+        # so compute the full-window mel directly — zero extension would put
+        # silence where the reflection puts real samples
+        with jax.default_device(cpu):
+            mel = log_mel_spectrogram_jax(jnp.asarray(flat), n_mels=n_mels)
+        mel = np.asarray(mel).astype(np.float16)
+        return mel.reshape(*lead, n_mels, mel.shape[-1])
+    # trailing zeros so every kept frame's full window exists in the array
+    flat = np.pad(flat, ((0, 0), (0, N_FFT)))
     with jax.default_device(cpu):
         mel = log_mel_spectrogram_jax(jnp.asarray(flat), n_mels=n_mels)
-    mel = np.asarray(mel)[..., : L // HOP_LENGTH].astype(np.float16)
+    mel = np.asarray(mel)[..., : L // HOP_LENGTH + 2].astype(np.float16)
     return mel.reshape(*lead, n_mels, mel.shape[-1])
 
 
 def finish_transfer_mel(mel: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     """Device side of :func:`log_mel_for_transfer`: fp16 -> fp32 and extend
     to the full window's frame count with each sample's dynamic-range floor
-    (max-8 dB == normalized max-2.0, never below the log10 clamp's -1.5)."""
+    (max-8 dB == normalized max-2.0, never below the log10 clamp's -1.5).
+    A full-window bucket ships target+2 frames — truncate, don't pad."""
     mel = mel.astype(jnp.float32)
     target = n_samples // HOP_LENGTH
     short = target - mel.shape[-1]
     if short <= 0:
-        return mel
+        return mel[..., :target]
     floor = jnp.maximum(mel.max(axis=(-2, -1), keepdims=True) - 2.0, -1.5)
     pad = jnp.broadcast_to(floor, (*mel.shape[:-1], short))
     return jnp.concatenate([mel, pad], axis=-1)

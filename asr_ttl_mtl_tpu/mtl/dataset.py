@@ -307,7 +307,9 @@ class DataLoader:
                             from ..audio import log_mel_for_transfer
 
                             batch["audio"] = log_mel_for_transfer(
-                                batch["audio"], _config_n_mels(self.dataset.config)
+                                batch["audio"],
+                                _config_n_mels(self.dataset.config),
+                                full_samples=self.dataset.config.audio_samples,
                             )
                         if not put_or_stop(batch):
                             return

@@ -469,6 +469,18 @@ class MultiTaskTrainer:
             leaves.append(seg.reshape(rows * 128)[:size].reshape(shape))
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
+    def _pack_jit(self):
+        """Cached jit of _pack_tree — a fresh jax.jit per epoch would
+        retrace/recompile the ~500-leaf pack program every epoch."""
+        if getattr(self, "_pack_jit_fn", None) is None:
+            self._pack_jit_fn = jax.jit(self._pack_tree)
+        return self._pack_jit_fn
+
+    def _unpack_jit(self):
+        if getattr(self, "_unpack_jit_fn", None) is None:
+            self._unpack_jit_fn = jax.jit(self._unpack_tree)
+        return self._unpack_jit_fn
+
     def _get_packed_scan_step(self, k: int):
         if k in self._packed_scan_steps:
             return self._packed_scan_steps[k]
@@ -542,7 +554,8 @@ class MultiTaskTrainer:
         if mode == "mel_fp16":
             from ..audio import log_mel_for_transfer
 
-            return log_mel_for_transfer(audio, self.model.dims.n_mels)
+            return log_mel_for_transfer(audio, self.model.dims.n_mels,
+                                        full_samples=self.config.audio_samples)
         if mode != "int16":
             return audio
         return np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
@@ -651,7 +664,7 @@ class MultiTaskTrainer:
                            jnp.asarray(self.beta, _F32), self._rng, n_valids)
                 if use_packed:
                     if packed_state is None:
-                        packed_state = jax.jit(self._pack_tree)((trainable, opt_state))
+                        packed_state = self._pack_jit()((trainable, opt_state))
                     pscan_fn = self._get_packed_scan_step(len(group))
                     packed_state, self._rng, losses, auxs = pscan_fn(
                         packed_state, dev["audio"], dev["input_tokens"],
@@ -723,7 +736,7 @@ class MultiTaskTrainer:
             )
 
         if packed_state is not None:
-            trainable, opt_state = jax.jit(self._unpack_tree)(packed_state)
+            trainable, opt_state = self._unpack_jit()(packed_state)
         self._set_trainable(trainable)
         self.opt_state = opt_state
 

@@ -194,10 +194,12 @@ def _default_blocks(tq: int, tk: int, causal: bool, itemsize: int = 2) -> tuple:
     bq = max(128, min(_round_up(tq, 128), budget // 4 // bk // 128 * 128))
     # prefer the largest in-budget block that divides the 128-rounded query
     # length: a non-dividing block re-pads q/k/v to the block multiple in HBM
-    # (e.g. tq=1536 with bq=1024 would copy everything out to 2048)
-    tq128 = _round_up(tq, 128)
-    for cand in range(bq, 127, -128):
-        if tq128 % cand == 0:
+    # (e.g. tq=1536 with bq=1024 would copy everything out to 2048). Floor at
+    # bq/2: for lengths with no large 128-multiple divisor (e.g. 13x128) a
+    # tiny dividing block would make the kernel grid-overhead-bound — worse
+    # than paying the one-time repad the divisor search exists to avoid
+    for cand in range(bq, max(bq // 2, 128) - 1, -128):
+        if _round_up(tq, 128) % cand == 0:
             return cand, bk
     return bq, bk
 

@@ -288,6 +288,7 @@ def find_alignment_batch(
     *,
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
+    batch_size: Optional[int] = None,
 ) -> List[List[WordTiming]]:
     """Batched :func:`find_alignment` over many 30 s windows at once.
 
@@ -311,10 +312,8 @@ def find_alignment_batch(
         return out
 
     longest = max(len(rows[i]) for i in live)
+    # one token bucket for ALL chunks so every chunk reuses one program shape
     bucket = next((b for b in _TOKEN_BUCKETS if b >= longest), longest)
-    tokens = np.full((len(live), bucket), tokenizer.eot, np.int32)
-    for r, i in enumerate(live):
-        tokens[r, : len(rows[i])] = rows[i]
 
     head_pairs = tuple((int(l), int(h)) for l, h in np.argwhere(model.alignment_heads))
     fwd = _build_alignment_forward_batch(
@@ -322,26 +321,40 @@ def find_alignment_batch(
         tokenizer.eot, medfilt_width,
     )
     mels = np.asarray(mels)
-    matrices, picked = fwd(
-        model.params,
-        jnp.asarray(mels[live]),
-        jnp.asarray(tokens),
-        jnp.asarray([num_frames_list[i] // 2 for i in live], jnp.int32),
-        jnp.asarray([len(rows[i]) for i in live], jnp.int32),
-        jnp.asarray(qk_scale, jnp.float32),
-    )
-    matrices = np.asarray(matrices, dtype=np.float64)
-    picked = np.asarray(picked)
-
-    for r, i in enumerate(live):
-        n_row = len(rows[i])
-        n_frames = num_frames_list[i] // 2
-        matrix = matrices[r, :n_row, :n_frames][sot_len:-1]
-        text_indices, time_indices = dtw(-matrix)
-        token_probs = picked[r, sot_len : sot_len + len(token_lists[i])].tolist()
-        out[i] = _word_timings_from_path(
-            tokenizer, list(token_lists[i]), text_indices, time_indices, token_probs
+    # chunk the fan-out: each window's cross-QK intermediate inside the
+    # program is (layers, heads, bucket, T_audio) fp32 — tens of MB at base —
+    # so aligning hundreds of windows in ONE program exhausts HBM even though
+    # the (chunked) decode succeeded. The last chunk pads by repeating its
+    # final row, keeping a single compiled shape per bucket.
+    chunk = max(1, int(batch_size)) if batch_size else len(live)
+    for c0 in range(0, len(live), chunk):
+        part = live[c0 : c0 + chunk]
+        pad = chunk - len(part) if len(live) > chunk else 0
+        idx = part + [part[-1]] * pad
+        tokens = np.full((len(idx), bucket), tokenizer.eot, np.int32)
+        for r, i in enumerate(idx):
+            tokens[r, : len(rows[i])] = rows[i]
+        matrices, picked = fwd(
+            model.params,
+            jnp.asarray(mels[idx]),
+            jnp.asarray(tokens),
+            jnp.asarray([num_frames_list[i] // 2 for i in idx], jnp.int32),
+            jnp.asarray([len(rows[i]) for i in idx], jnp.int32),
+            jnp.asarray(qk_scale, jnp.float32),
         )
+        matrices = np.asarray(matrices, dtype=np.float64)
+        picked = np.asarray(picked)
+
+        for r, i in enumerate(part):
+            n_row = len(rows[i])
+            n_frames = num_frames_list[i] // 2
+            matrix = matrices[r, :n_row, :n_frames][sot_len:-1]
+            text_indices, time_indices = dtw(-matrix)
+            token_probs = picked[r, sot_len : sot_len + len(token_lists[i])].tolist()
+            out[i] = _word_timings_from_path(
+                tokenizer, list(token_lists[i]), text_indices, time_indices,
+                token_probs,
+            )
     return out
 
 

@@ -609,14 +609,16 @@ def transcribe_batch(
             for k, res in zip(group, task.collect(handle)):
                 results[k] = res
 
-        for i in range(0, len(indices), batch_size):
-            group = indices[i : i + batch_size]
+        # every chunk — including ladder-retry subsets smaller than the first
+        # rung's — pads up to the ONE program batch the first rung compiled
+        # (min(batch_size, total windows)); fresh shapes cost minutes over a
+        # remote-attached chip
+        program_b = min(batch_size, len(windows))
+        for i in range(0, len(indices), program_b):
+            group = indices[i : i + program_b]
             chunk = [windows[k].mel for k in group]
-            # pad partial chunks up to the full batch so every call reuses
-            # ONE compiled program shape (fresh shapes cost minutes over a
-            # remote-attached chip)
-            if len(chunk) < batch_size and len(windows) > batch_size:
-                chunk += [np.zeros_like(chunk[0])] * (batch_size - len(chunk))
+            if len(chunk) < program_b:
+                chunk += [np.zeros_like(chunk[0])] * (program_b - len(chunk))
             if mesh is not None:
                 out = decode_batched_dp(model, np.stack(chunk), options, mesh=mesh)
                 for k, res in zip(group, out):
@@ -681,6 +683,7 @@ def transcribe_batch(
             token_lists,
             np.stack([w.mel for w in windows]),
             [w.size for w in windows],
+            batch_size=batch_size,
         )
         for win, segs, alignment in zip(windows, window_segments, alignments):
             add_word_timestamps(

@@ -46,7 +46,11 @@ def _flatten_words(segments: List[dict], words_per_chunk: int) -> Iterator[_Word
     max-words-per-line boundary within it.
     """
     for segment in segments:
-        for index, word in enumerate(segment.get("words") or ()):
+        # segment["words"] (not .get): a segment missing its word list is a
+        # malformed input — the reference's iterate_subtitles raises KeyError
+        # too (utils.py:119); silently skipping would drop transcript text
+        # from the subtitle output
+        for index, word in enumerate(segment["words"]):
             yield _Word(
                 text=word["word"],
                 start=word["start"],

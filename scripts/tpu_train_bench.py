@@ -186,7 +186,8 @@ def epoch_mode():
         from asr_ttl_mtl_tpu.audio import log_mel_for_transfer
 
         for b in batches:
-            b["audio"] = log_mel_for_transfer(b["audio"])
+            b["audio"] = log_mel_for_transfer(
+                b["audio"], full_samples=config.audio_samples)
         kb = batches[0]["audio"].nbytes / 1024
     else:
         kb = batches[0]["audio"].nbytes / 1024 / (2 if transfer == "int16" else 1)

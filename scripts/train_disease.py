@@ -62,12 +62,20 @@ def parse_args():
     p.add_argument("--steps_per_call", type=int, default=0,
                    help="optimizer steps fused into one dispatch via "
                         "lax.scan (0 = auto: 8 on TPU, 1 elsewhere)")
-    p.add_argument("--packed_dispatch", type=lambda v: v.lower() == "true",
+    def strict_bool(v: str) -> bool:
+        if v.lower() in ("true", "1", "yes"):
+            return True
+        if v.lower() in ("false", "0", "no"):
+            return False
+        raise argparse.ArgumentTypeError(f"expected True/False, got {v!r}")
+
+    p.add_argument("--packed_dispatch", type=strict_bool,
                    default=None, metavar="True/False",
-                   help="pack the params+optimizer state into flat per-dtype "
-                        "buffers so each fused dispatch ships a handful of "
-                        "buffer handles instead of ~500 (default: auto — on "
-                        "for single-device TPU; bit-identical results)")
+                   help="pack the params+optimizer state into lane-aligned "
+                        "per-dtype buffers so each fused dispatch ships a "
+                        "handful of buffer handles instead of ~500 "
+                        "(default: OFF — measured slower through the remote "
+                        "tunnel, see PERF.md; bit-identical results)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume_dir", type=str, default=None,
                    help="directory for full-state epoch checkpoints; if it already "

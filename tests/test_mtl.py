@@ -473,10 +473,28 @@ def test_mel_fp16_transfer_matches_device_mel(tmp_path):
     clip = rng.randn(2, 11200).astype(np.float32) * 0.2
     bucket = np.pad(clip, ((0, 0), (0, 16000 - 11200)))
     full = np.pad(clip, ((0, 0), (0, 64000 - 11200)))
-    shipped = log_mel_for_transfer(bucket)
-    assert shipped.dtype == np.float16 and shipped.shape == (2, 80, 100)
+    shipped = log_mel_for_transfer(bucket, full_samples=64000)
+    assert shipped.dtype == np.float16 and shipped.shape == (2, 80, 102)
     got = np.asarray(finish_transfer_mel(jnp.asarray(shipped), 64000))
     want = np.asarray(log_mel_spectrogram_jax(jnp.asarray(full)))
+    assert got.shape == want.shape == (2, 80, 400)
+    np.testing.assert_allclose(got, want, atol=3e-3)
+
+    # worst case A: real energy right up to the bucket edge — the last two
+    # shipped frames' STFT windows reach into the final N_FFT/2 samples
+    edge = rng.randn(2, 16000).astype(np.float32) * 0.2
+    full = np.pad(edge, ((0, 0), (0, 64000 - 16000)))
+    got = np.asarray(finish_transfer_mel(
+        jnp.asarray(log_mel_for_transfer(edge, full_samples=64000)), 64000))
+    want = np.asarray(log_mel_spectrogram_jax(jnp.asarray(full)))
+    np.testing.assert_allclose(got, want, atol=3e-3)
+
+    # worst case B: dense clip filling the whole window — the device mel
+    # REFLECTS the true tail at the window boundary (no zero region)
+    dense = rng.randn(2, 64000).astype(np.float32) * 0.2
+    got = np.asarray(finish_transfer_mel(
+        jnp.asarray(log_mel_for_transfer(dense, full_samples=64000)), 64000))
+    want = np.asarray(log_mel_spectrogram_jax(jnp.asarray(dense)))
     assert got.shape == want.shape == (2, 80, 400)
     np.testing.assert_allclose(got, want, atol=3e-3)
 

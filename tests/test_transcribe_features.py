@@ -455,6 +455,17 @@ def test_batch_word_timestamps_match_sequential(batch_model, short_waves):
         suppress_tokens=_SUPPRESS,
     )
     outs = transcribe_batch(model, short_waves[:3], batch_size=3, **kwargs)
+    # batch_size=2 forces the alignment fan-out to CHUNK (2 + padded 1): the
+    # chunked programs must produce the identical words/timestamps — the
+    # guard against OOM-scale single-program alignment over hundreds of
+    # windows silently changing results
+    chunked = transcribe_batch(model, short_waves[:3], batch_size=2, **kwargs)
+    for o3, o2 in zip(outs, chunked):
+        assert o3["text"] == o2["text"]
+        for s3, s2 in zip(o3["segments"], o2["segments"]):
+            assert [(w["word"], w["start"], w["end"]) for w in s3["words"]] == [
+                (w["word"], w["start"], w["end"]) for w in s2["words"]
+            ]
     seqs = _seq_all(model, short_waves[:3], **kwargs)
     for out, seq in zip(outs, seqs):
         assert out["text"] == seq["text"]
