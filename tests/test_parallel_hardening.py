@@ -72,6 +72,40 @@ def test_dp_sharded_evaluate_matches_single(tmp_path):
     assert dm["wer"] == pytest.approx(sm["wer"], abs=1e-9)
 
 
+def test_dp_batch_word_timestamps_matches_single():
+    """--batch_mode --dp + word_timestamps: the mesh decode path composed
+    with the (single-device) chunked batched alignment must reproduce the
+    single-device transcribe_batch output word-for-word."""
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=51865, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=1,
+    )
+    params = W.init_params(jax.random.PRNGKey(5), dims)
+    model = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+
+    rng = np.random.RandomState(7)
+    waves = [(rng.randn(16000) * 0.1).astype(np.float32) for _ in range(4)]
+    kwargs = dict(temperature=0.0, language="en", no_speech_threshold=None,
+                  word_timestamps=True, fp16=False, sample_len=8,
+                  without_timestamps=True)
+    dp = transcribe_batch(model, waves, batch_size=4,
+                          mesh=create_mesh((4, 1)), **kwargs)
+    single = transcribe_batch(model, waves, batch_size=4, **kwargs)
+    assert len(dp) == len(single) == 4
+    for a, b in zip(dp, single):
+        assert a["text"] == b["text"]
+        for sa, sb in zip(a["segments"], b["segments"]):
+            assert [(w["word"], w["start"], w["end"]) for w in sa["words"]] == [
+                (w["word"], w["start"], w["end"]) for w in sb["words"]
+            ]
+
+
 def test_dp_beam_int8_combined(tmp_path):
     """beam search + int8 KV + dp sharding together: parity with the
     single-device int8 beam path."""
