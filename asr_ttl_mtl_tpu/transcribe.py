@@ -560,6 +560,12 @@ def transcribe_batch(
     every input). ``word_timestamps`` aligns all windows' segments in
     batched teacher-forced forwards (:func:`timing.find_alignment_batch`).
 
+    With ``language=None`` on a multilingual model, the language is detected
+    per INPUT FILE on its first window (reference ``transcribe.py:144-156``
+    semantics) in one batched :func:`decoding.detect_language` call; windows
+    then decode grouped by language — all languages share the same compiled
+    programs (the language token is a traced input).
+
     With `mesh` (a jax.sharding.Mesh with a 'dp' axis), window batches are
     decoded data-parallel across the mesh via parallel.serving — the
     multi-chip serving path; results are identical to single-device.
@@ -572,15 +578,26 @@ def transcribe_batch(
                 for _ in audios]
 
     language = decode_options.pop("language", None)
+    if language is None and not model.is_multilingual:
+        language = "en"
     if language is None:
-        if model.is_multilingual:
-            # detect once on the first window of the whole batch (single-file
-            # transcribe() detects per file; batch mode shares one language)
-            _, probs = model.detect_language(jnp.asarray(windows[0].mel))
-            language = max(probs, key=probs.get)
-        else:
-            language = "en"
-    decode_options["language"] = language
+        # reference parity (transcribe.py:144-156): detect per INPUT FILE on
+        # its first 30 s window — one batched detect_language call over all
+        # inputs' first windows; each input's windows then decode in that
+        # input's language group below
+        first_win = {}
+        for k, w in enumerate(windows):
+            first_win.setdefault(w.input_idx, k)
+        mels = np.stack([windows[k].mel for k in first_win.values()])
+        _, probs = model.detect_language(jnp.asarray(mels))
+        lang_of_input = {
+            i: max(p, key=p.get) for i, p in zip(first_win, probs)
+        }
+        language_groups = {}
+        for k, w in enumerate(windows):
+            language_groups.setdefault(lang_of_input[w.input_idx], []).append(k)
+    else:
+        language_groups = {language: list(range(len(windows)))}
     if initial_prompt is not None:
         decode_options["prompt"] = " " + initial_prompt.strip()
 
@@ -594,14 +611,15 @@ def transcribe_batch(
     if mesh is not None:
         from .parallel.serving import decode_batched_dp
 
-    tasks: dict = {}  # DecodingTask per rung; the jitted programs underneath
-    # are lru-cached on static config only, so all t>0 rungs share compiles
+    tasks: dict = {}  # DecodingTask per (rung, language); the jitted programs
+    # underneath are lru-cached on static config only, so all rungs AND all
+    # languages share the same compiles (the language token is a traced input)
 
-    def decode_subset(indices: List[int], t: float) -> None:
-        options = options_at_temperature(decode_options, t)
-        task = tasks.get(t)
+    def decode_subset(indices: List[int], t: float, lang: str) -> None:
+        options = options_at_temperature({**decode_options, "language": lang}, t)
+        task = tasks.get((t, lang))
         if task is None:
-            task = tasks[t] = DecodingTask(model, options)
+            task = tasks[(t, lang)] = DecodingTask(model, options)
         pending: List[tuple] = []  # (group, submit handle), ≤2 in flight
 
         def drain_one() -> None:
@@ -633,28 +651,37 @@ def transcribe_batch(
             drain_one()
 
     results: List[Optional[DecodingResult]] = [None] * len(windows)
-    decode_subset(list(range(len(windows))), ladder[0])
-    for t in ladder[1:]:
-        retry = [k for k, res in enumerate(results) if gates.degenerate(res)]
-        if not retry:
-            break
-        decode_subset(retry, t)
+    for lang, lang_indices in language_groups.items():
+        decode_subset(lang_indices, ladder[0], lang)
+        for t in ladder[1:]:
+            retry = [k for k in lang_indices if gates.degenerate(results[k])]
+            if not retry:
+                break
+            decode_subset(retry, t, lang)
 
     # ---- assemble segments per window -------------------------------------
-    tokenizer = next(iter(tasks.values())).tokenizer
+    # each window uses ITS language group's tokenizer: segment assembly is
+    # language-independent (BPE decode), but word splitting for unspaced
+    # scripts (zh/ja/th/lo/my/yue) keys off tokenizer.language
+    win_lang = {k: lang for lang, idxs in language_groups.items() for k in idxs}
+    lang_tokenizer = {
+        lang: next(t for (_, lg), t in tasks.items() if lg == lang).tokenizer
+        for lang in language_groups
+    }
     input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
     time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
 
     window_segments: List[List[dict]] = []
-    for win, res in zip(windows, results):
+    for k, (win, res) in enumerate(zip(windows, results)):
         if no_speech_threshold is not None and gates.silent_window(res):
             window_segments.append([])
             continue
+        tokenizer = lang_tokenizer[win_lang[k]]
         time_offset = _frames_to_sec(win.seek)
 
-        def make(start, end, tokens, _win=win, _res=res):
+        def make(start, end, tokens, _win=win, _res=res, _tok=tokenizer):
             return _build_segment(
-                tokenizer, seek=_win.seek, start=start, end=end,
+                _tok, seek=_win.seek, start=start, end=end,
                 tokens=tokens, result=_res,
             )
 
@@ -673,32 +700,39 @@ def transcribe_batch(
     if word_timestamps:
         from .timing import add_word_timestamps, find_alignment_batch
 
-        token_lists = [
-            [t for seg in segs for t in seg["tokens"] if t < tokenizer.eot]
-            for segs in window_segments
-        ]
-        alignments = find_alignment_batch(
-            model,
-            tokenizer,
-            token_lists,
-            np.stack([w.mel for w in windows]),
-            [w.size for w in windows],
-            batch_size=batch_size,
-        )
-        for win, segs, alignment in zip(windows, window_segments, alignments):
-            add_word_timestamps(
-                segments=segs,
-                model=model,
-                tokenizer=tokenizer,
-                mel=win.mel,
-                num_frames=win.size,
-                prepend_punctuations=prepend_punctuations,
-                append_punctuations=append_punctuations,
-                last_speech_timestamp=0.0,
-                alignment=alignment,
+        for lang, lang_indices in language_groups.items():
+            tokenizer = lang_tokenizer[lang]
+            token_lists = [
+                [t for seg in window_segments[k] for t in seg["tokens"]
+                 if t < tokenizer.eot]
+                for k in lang_indices
+            ]
+            alignments = find_alignment_batch(
+                model,
+                tokenizer,
+                token_lists,
+                np.stack([windows[k].mel for k in lang_indices]),
+                [windows[k].size for k in lang_indices],
+                batch_size=batch_size,
             )
+            for k, alignment in zip(lang_indices, alignments):
+                add_word_timestamps(
+                    segments=window_segments[k],
+                    model=model,
+                    tokenizer=tokenizer,
+                    mel=windows[k].mel,
+                    num_frames=windows[k].size,
+                    prepend_punctuations=prepend_punctuations,
+                    append_punctuations=append_punctuations,
+                    last_speech_timestamp=0.0,
+                    alignment=alignment,
+                )
 
-    outputs = [dict(text="", segments=[], language=language) for _ in audios]
+    input_lang = {w.input_idx: win_lang[k] for k, w in enumerate(windows)}
+    outputs = [
+        dict(text="", segments=[], language=input_lang.get(i, language))
+        for i in range(len(audios))
+    ]
     for win, segments in zip(windows, window_segments):
         bucket = outputs[win.input_idx]
         for segment in segments:

@@ -119,6 +119,25 @@ def test_transcribe_auto_language_detection(multi_models):
     assert ours["text"] == ref["text"]
 
 
+def test_batch_auto_language_detects_per_input(multi_models):
+    """batch mode with language=None detects per INPUT FILE on its first
+    window (reference transcribe.py:144-156 semantics) — each input's
+    detected language and text must equal its own sequential transcribe()."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    _, our_model = multi_models
+    rng = np.random.RandomState(31)
+    waves = [(rng.randn(16000 + 4000 * i) * (0.05 + 0.05 * i)).astype(np.float32)
+             for i in range(3)]
+    kwargs = dict(without_timestamps=True, sample_len=8, temperature=0.0,
+                  fp16=False, no_speech_threshold=None)
+    outs = transcribe_batch(our_model, waves, batch_size=3, **kwargs)
+    for wave, out in zip(waves, outs):
+        seq = transcribe(our_model, wave, verbose=None, **kwargs)
+        assert out["language"] == seq["language"]
+        assert out["text"] == seq["text"]
+
+
 def test_clip_timestamps_parity(en_models, long_wave):
     """clip_timestamps windows restrict the seek loop identically
     (reference transcribe.py:168-177, :272-281)."""
