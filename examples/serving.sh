@@ -17,3 +17,19 @@ python -m asr_ttl_mtl_tpu audio*.wav --model base --language en \
 # Beam search with patience (fully jitted, one XLA program per window):
 python -m asr_ttl_mtl_tpu audio1.wav --model base --language en \
   --beam_size 5 --patience 1.5 --output_dir out/
+
+# Batched beam serving (submit/collect pipelined; PERF.md: beam=5 int8
+# B=48 = 4036 audio-sec/s/chip on a v5e):
+python -m asr_ttl_mtl_tpu audio*.wav --model base --language en \
+  --batch_mode True --beam_size 5 --kv_int8 True --output_dir out/
+
+# Very large model whose fused encoder+decode program exceeds a remote
+# compiler's size limit: compile them as two smaller programs instead
+# (still pipelined; needed for large-v3 at B>=32 through a tunnel):
+python -m asr_ttl_mtl_tpu audio*.wav --model large-v3 --language en \
+  --batch_mode True --kv_int8 True --fuse_encoder False --output_dir out/
+
+# Mixed-language batch: language detection runs per input file (one
+# batched detect_language call), windows decode grouped by language:
+python -m asr_ttl_mtl_tpu english.wav french.wav korean.wav --model base \
+  --batch_mode True --output_dir out/
