@@ -57,6 +57,7 @@ def cli():
     parser.add_argument("--fuse_encoder", type=str2bool, default=True, help="run encoder+decode as one fused XLA program (default); False compiles two smaller programs — for very large model/batch combinations that exceed a remote compiler's program size limit")
     parser.add_argument("--batch_mode", type=str2bool, default=False, help="decode every 30s window of every input file in device-wide batches (throughput mode; windows are decoded independently)")
     parser.add_argument("--dp", type=optional_int, default=None, help="with --batch_mode: shard window batches data-parallel over this many devices (a jax.sharding mesh); default: single device")
+    parser.add_argument("--tp", type=optional_int, default=None, help="with --batch_mode: additionally shard the model weights tensor-parallel over this many devices per dp replica (Megatron layout via pjit; the multi-chip latency path for large models)")
 
     parser.add_argument("--temperature_increment_on_fallback", type=optional_float, default=0.2, help="temperature increment on decode-quality fallback")
     parser.add_argument("--compression_ratio_threshold", type=optional_float, default=2.4, help="gzip compression ratio above which a decode is treated as failed")
@@ -162,10 +163,11 @@ def cli():
             )
         args.pop("hallucination_silence_threshold", None)
         mesh = None
-        if (dp := args.pop("dp")) is not None:
+        dp, tp = args.pop("dp"), args.pop("tp")
+        if dp is not None or (tp or 1) > 1:
             from .parallel.mesh import create_mesh
 
-            mesh = create_mesh((dp, 1))
+            mesh = create_mesh((dp or 0, tp or 1))
         batch_args, unroutable = {}, []
         for key, value in args.items():
             if key in supported:
@@ -191,6 +193,7 @@ def cli():
         return
 
     args.pop("dp", None)
+    args.pop("tp", None)
     for audio_path in audio_paths:
         try:
             result = transcribe(model, audio_path, temperature=temperature, **args)

@@ -72,6 +72,71 @@ def _build_dp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
     )
 
 
+@lru_cache(maxsize=16)
+def _build_tp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
+    """pjit(greedy window) for a dp x tp mesh: batch sharded over dp, the
+    Megatron tp weight shardings (mesh.param_shardings) propagated by GSPMD
+    through the fused encoder+prefill+decode program — attention heads and
+    MLP hidden split over tp, one psum per block output. Used when tp > 1
+    (shard_map dp keeps the Pallas kernels; GSPMD has no rules for them, so
+    this path traces with kernels disabled)."""
+    from ..decoding import _greedy_window_fn
+
+    from jax.sharding import NamedSharding
+
+    fn = _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant)
+    dp_s = NamedSharding(mesh, P("dp"))
+    return jax.jit(fn, out_shardings=(dp_s, dp_s, dp_s, None))
+
+
+@lru_cache(maxsize=16)
+def _build_tp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant):
+    from ..beam import _beam_window_fn
+
+    from jax.sharding import NamedSharding
+
+    fn = _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant)
+    dp_s = NamedSharding(mesh, P("dp"))
+    return jax.jit(fn, out_shardings=(dp_s,) * 6 + (None,))
+
+
+_TP_PARAMS_CACHE: dict = {}  # (id(model), mesh) -> tp-sharded params
+
+
+def _tp_params(model, mesh):
+    key = (id(model), mesh)
+    if key not in _TP_PARAMS_CACHE:
+        from .mesh import shard_params
+
+        _TP_PARAMS_CACHE[key] = shard_params(model.params, mesh)
+    return _TP_PARAMS_CACHE[key]
+
+
+class _noop_ctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _kernels_disabled:
+    """Pallas kernels have no GSPMD partitioning rules — the pjit tp path
+    must trace the plain-XLA attention (shard_map dp keeps the kernels)."""
+
+    def __enter__(self):
+        from ..models import whisper as W
+
+        self._saved = (W._FLASH["enabled"], W._FLASH["decode_kernel"])
+        W.set_flash_attention(False)
+        W.set_decode_kernel("off")
+
+    def __exit__(self, *exc):
+        from ..models import whisper as W
+
+        W._FLASH["enabled"], W._FLASH["decode_kernel"] = self._saved
+
+
 def decode_batched_dp(
     model,
     mels,
@@ -81,7 +146,9 @@ def decode_batched_dp(
     **option_kwargs,
 ) -> List:
     """Decode a batch of 30 s mel windows (greedy or beam search), sharded
-    over `dp`.
+    over `dp` — and, when the mesh has tp > 1, with the weights
+    tensor-parallel-sharded over `tp` (Megatron layout via pjit/GSPMD; the
+    multi-chip latency path for the large model family).
 
     Same results as DecodingTask.run (known language); the batch is
     zero-padded up to a multiple of the dp size and the padded rows dropped.
@@ -98,8 +165,6 @@ def decode_batched_dp(
 
     if options is None:
         options = DecodingOptions(**option_kwargs)
-    if (options.best_of or 1) > 1:
-        raise ValueError("decode_batched_dp supports greedy or beam (best_of unset)")
     if options.language is None:
         raise ValueError("decode_batched_dp needs a known language")
 
@@ -114,13 +179,33 @@ def decode_batched_dp(
         mels = np.concatenate([mels, np.zeros((pad, *mels.shape[1:]), np.float32)])
     B = mels.shape[0]
 
+    n_group = task.n_group if options.beam_size is None else 1
     initial = np.tile(np.asarray(task.initial_tokens, np.int32), (B, 1))
     valid_len = initial.shape[1]
     bucket = _bucket(valid_len)
     padded = np.full((B, bucket), task.tokenizer.eot, np.int32)
     padded[:, :valid_len] = initial
+    if n_group > 1:  # best-of-N sampling: replicate token rows audio-major;
+        # the decoder shares one cross-KV row per audio (kv_group)
+        padded = np.repeat(padded, n_group, axis=0)
     sample_len = min(task.sample_len, task.n_ctx)
     no_speech = task.tokenizer.no_speech if task.tokenizer.no_speech is not None else -1
+
+    tp = mesh.shape.get("tp", 1)
+    # best-of sampling must run as ONE GLOBAL program (pjit): shard_map would
+    # draw each shard's rows from the same shard-local rng stream, diverging
+    # from the single-device sampling semantics
+    use_pjit = tp > 1 or n_group > 1
+    if use_pjit:
+        from jax.sharding import NamedSharding
+
+        params = _tp_params(model, mesh) if tp > 1 else model.params
+        mel_dev = jax.device_put(
+            jnp.asarray(mels), NamedSharding(mesh, P("dp", None, None))
+        )
+        toks_dev = jax.device_put(padded, NamedSharding(mesh, P("dp", None)))
+    else:
+        params, mel_dev, toks_dev = model.params, jnp.asarray(mels), padded
 
     if options.beam_size is not None:
         from ..beam import assemble_beam_results
@@ -129,40 +214,44 @@ def decode_batched_dp(
         patience = options.patience or 1.0
         C = round(K * patience)
         assert C > 0, f"Invalid beam size ({K}) or patience ({patience})"
-        sharded = _build_dp_beam(
+        build = _build_tp_beam if use_pjit else _build_dp_beam
+        sharded = build(
             mesh, model.dims, task.filter_cfg, bucket, sample_len, K, C,
             task._dtype_name, task.kv_quant,
         )
-        outs = sharded(
-            model.params,
-            jnp.asarray(mels),
-            padded,
-            jnp.asarray(valid_len, jnp.int32),
-            jnp.asarray(task.sot_index, jnp.int32),
-            jnp.asarray(no_speech, jnp.int32),
-        )
+        with _kernels_disabled() if use_pjit else _noop_ctx():
+            outs = sharded(
+                params,
+                mel_dev,
+                toks_dev,
+                jnp.asarray(valid_len, jnp.int32),
+                jnp.asarray(task.sot_index, jnp.int32),
+                jnp.asarray(no_speech, jnp.int32),
+            )
         tokens, sum_logprobs, no_speech_probs = assemble_beam_results(
             [np.asarray(o) for o in outs], B, K, valid_len, task.tokenizer.eot
         )
     else:
-        sharded = _build_dp_greedy(
+        build = _build_tp_greedy if use_pjit else _build_dp_greedy
+        sharded = build(
             mesh, model.dims, task.filter_cfg, bucket, sample_len,
             task._dtype_name, task.kv_quant,
         )
 
-        buf, sum_lp, ns_probs, n_sampled = sharded(
-            model.params,
-            jnp.asarray(mels),
-            padded,
-            jnp.asarray(valid_len, jnp.int32),
-            jnp.asarray(task.sot_index, jnp.int32),
-            jnp.asarray(no_speech, jnp.int32),
-            jnp.asarray(options.temperature, jnp.float32),
-            jnp.asarray(rng_seed, jnp.int32),
-        )
+        with _kernels_disabled() if use_pjit else _noop_ctx():
+            buf, sum_lp, ns_probs, n_sampled = sharded(
+                params,
+                mel_dev,
+                toks_dev,
+                jnp.asarray(valid_len, jnp.int32),
+                jnp.asarray(task.sot_index, jnp.int32),
+                jnp.asarray(no_speech, jnp.int32),
+                jnp.asarray(options.temperature, jnp.float32),
+                jnp.asarray(rng_seed, jnp.int32),
+            )
 
         tokens, sum_logprobs, no_speech_probs = task._assemble_greedy(
-            buf, sum_lp, ns_probs, np.asarray(n_sampled), B, 1, valid_len
+            buf, sum_lp, ns_probs, np.asarray(n_sampled), B, n_group, valid_len
         )
     selected = MaximumLikelihoodRanker(options.length_penalty).rank(tokens, sum_logprobs)
     results = []

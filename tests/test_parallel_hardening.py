@@ -72,6 +72,59 @@ def test_dp_sharded_evaluate_matches_single(tmp_path):
     assert dm["wer"] == pytest.approx(sm["wer"], abs=1e-9)
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 8)])
+def test_tp_serving_matches_single(mesh_shape):
+    """Tensor-parallel serving (pjit + Megatron weight shardings, the
+    multi-chip latency path for the large family): greedy AND beam decode on
+    a dp x tp mesh must equal the single-device DecodingTask.run — including
+    with int8 KV caches (einsum dequant path under GSPMD)."""
+    from asr_ttl_mtl_tpu.audio import log_mel_spectrogram, pad_or_trim
+    from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.parallel.serving import decode_batched_dp
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=1, n_vocab=51865, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=1,
+    )
+    params = W.init_params(jax.random.PRNGKey(5), dims)
+    model = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(33)
+    mel = np.stack([
+        np.asarray(pad_or_trim(
+            np.asarray(log_mel_spectrogram((rng.randn(16000) * 0.1).astype(np.float32))),
+            3000, axis=-1))
+        for _ in range(4)
+    ]).astype(np.float32)
+
+    for beam, kv_quant in ((None, False), (3, False), (None, True)):
+        opts = DecodingOptions(language="en", without_timestamps=True,
+                               beam_size=beam, sample_len=8, fp16=False,
+                               suppress_tokens=None, kv_quant=kv_quant)
+        single = DecodingTask(model, opts).run(jnp.asarray(mel))
+        out = decode_batched_dp(model, mel, opts, mesh=create_mesh(mesh_shape))
+        for a, b in zip(out, single):
+            assert a.tokens == b.tokens
+            assert a.text == b.text
+            np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
+
+    # best-of sampling (the ladder's t>0 rungs): runs as ONE GLOBAL pjit
+    # program, so the rng draws — and therefore every sampled token — match
+    # the single-device program exactly
+    opts = DecodingOptions(language="en", without_timestamps=True,
+                           temperature=0.7, best_of=3, sample_len=8,
+                           fp16=False, suppress_tokens=None)
+    single = DecodingTask(model, opts).run(jnp.asarray(mel), rng_seed=5)
+    out = decode_batched_dp(model, mel, opts, mesh=create_mesh(mesh_shape),
+                            rng_seed=5)
+    for a, b in zip(out, single):
+        assert a.tokens == b.tokens
+        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
+
+
 def test_dp_batch_word_timestamps_matches_single():
     """--batch_mode --dp + word_timestamps: the mesh decode path composed
     with the (single-device) chunked batched alignment must reproduce the
