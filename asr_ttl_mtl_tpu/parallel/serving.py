@@ -84,7 +84,9 @@ def _build_tp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
 
     from jax.sharding import NamedSharding
 
-    fn = _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant)
+    fn = _kernels_off_during_trace(
+        _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant)
+    )
     dp_s = NamedSharding(mesh, P("dp"))
     return jax.jit(fn, out_shardings=(dp_s, dp_s, dp_s, None))
 
@@ -95,46 +97,53 @@ def _build_tp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_qua
 
     from jax.sharding import NamedSharding
 
-    fn = _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant)
+    fn = _kernels_off_during_trace(
+        _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant)
+    )
     dp_s = NamedSharding(mesh, P("dp"))
     return jax.jit(fn, out_shardings=(dp_s,) * 6 + (None,))
 
 
-_TP_PARAMS_CACHE: dict = {}  # (id(model), mesh) -> tp-sharded params
-
-
 def _tp_params(model, mesh):
-    key = (id(model), mesh)
-    if key not in _TP_PARAMS_CACHE:
-        from .mesh import shard_params
+    """Mesh-placed (tp-sharded, or replicated when tp==1) params, cached ON
+    the model per mesh and identity-checked against the CURRENT params tree —
+    an id()-keyed module cache could silently serve a freed model's weights
+    (CPython reuses ids) or go stale after fine-tuning reassigns
+    model.params. Dies with the model; one copy per (model, mesh)."""
+    from .mesh import shard_params
 
-        _TP_PARAMS_CACHE[key] = shard_params(model.params, mesh)
-    return _TP_PARAMS_CACHE[key]
+    cache = getattr(model, "_tp_params_cache", None)
+    entry = cache.get(mesh) if cache else None
+    if entry is None or entry[0] is not model.params:
+        entry = (model.params, shard_params(model.params, mesh))
+        try:
+            if cache is None:
+                cache = {}
+                object.__setattr__(model, "_tp_params_cache", cache)
+            cache[mesh] = entry
+        except AttributeError:
+            pass  # __slots__ model: recompute per call (correct, uncached)
+    return entry[1]
 
 
-class _noop_ctx:
-    def __enter__(self):
-        return self
+def _kernels_off_during_trace(fn):
+    """Pallas kernels have no GSPMD partitioning rules — pjit paths must
+    trace the plain-XLA attention (shard_map dp keeps the kernels). Wrapping
+    the traced body (rather than the call site) pins the kernel flags off for
+    EVERY (re)trace of this program, whenever jit decides to retrace."""
 
-    def __exit__(self, *exc):
-        return False
-
-
-class _kernels_disabled:
-    """Pallas kernels have no GSPMD partitioning rules — the pjit tp path
-    must trace the plain-XLA attention (shard_map dp keeps the kernels)."""
-
-    def __enter__(self):
+    def traced(*args):
         from ..models import whisper as W
 
-        self._saved = (W._FLASH["enabled"], W._FLASH["decode_kernel"])
+        saved = (W._FLASH["enabled"], W._FLASH["decode_kernel"])
         W.set_flash_attention(False)
         W.set_decode_kernel("off")
+        try:
+            return fn(*args)
+        finally:
+            W._FLASH["enabled"], W._FLASH["decode_kernel"] = saved
 
-    def __exit__(self, *exc):
-        from ..models import whisper as W
-
-        W._FLASH["enabled"], W._FLASH["decode_kernel"] = self._saved
+    return traced
 
 
 def decode_batched_dp(
@@ -199,10 +208,13 @@ def decode_batched_dp(
     if use_pjit:
         from jax.sharding import NamedSharding
 
-        params = _tp_params(model, mesh) if tp > 1 else model.params
-        mel_dev = jax.device_put(
-            jnp.asarray(mels), NamedSharding(mesh, P("dp", None, None))
-        )
+        # mesh-placed params even at tp==1 (replicated): raw host params
+        # would re-broadcast the full weights on every chunk, and params
+        # committed to one device would make the multi-device jit raise
+        params = _tp_params(model, mesh)
+        # device_put the numpy arrays directly: host -> shards in one hop
+        # (jnp.asarray first would stage the whole batch on device 0)
+        mel_dev = jax.device_put(mels, NamedSharding(mesh, P("dp", None, None)))
         toks_dev = jax.device_put(padded, NamedSharding(mesh, P("dp", None)))
     else:
         params, mel_dev, toks_dev = model.params, jnp.asarray(mels), padded
@@ -219,8 +231,7 @@ def decode_batched_dp(
             mesh, model.dims, task.filter_cfg, bucket, sample_len, K, C,
             task._dtype_name, task.kv_quant,
         )
-        with _kernels_disabled() if use_pjit else _noop_ctx():
-            outs = sharded(
+        outs = sharded(
                 params,
                 mel_dev,
                 toks_dev,
@@ -238,8 +249,7 @@ def decode_batched_dp(
             task._dtype_name, task.kv_quant,
         )
 
-        with _kernels_disabled() if use_pjit else _noop_ctx():
-            buf, sum_lp, ns_probs, n_sampled = sharded(
+        buf, sum_lp, ns_probs, n_sampled = sharded(
                 params,
                 mel_dev,
                 toks_dev,

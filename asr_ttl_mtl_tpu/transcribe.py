@@ -582,21 +582,41 @@ def transcribe_batch(
         language = "en"
     if language is None:
         # reference parity (transcribe.py:144-156): detect per INPUT FILE on
-        # its first 30 s window — one batched detect_language call over all
+        # its first 30 s window — batched detect_language calls over all
         # inputs' first windows; each input's windows then decode in that
         # input's language group below
         first_win = {}
         for k, w in enumerate(windows):
             first_win.setdefault(w.input_idx, k)
-        mels = np.stack([windows[k].mel for k in first_win.values()])
-        _, probs = model.detect_language(jnp.asarray(mels))
-        lang_of_input = {
-            i: max(p, key=p.get) for i, p in zip(first_win, probs)
-        }
+        det_mels = []
+        for i in range(len(audios)):
+            if i in first_win:
+                det_mels.append(windows[first_win[i]].mel)
+            else:
+                # input whose clip_timestamps excluded every window: the
+                # reference still detects on the file's first 30 s
+                mel = np.asarray(
+                    log_mel_spectrogram(audios[i], model.dims.n_mels,
+                                        padding=N_SAMPLES))
+                det_mels.append(np.asarray(
+                    pad_or_trim(mel[:, :N_FRAMES], N_FRAMES, axis=-1),
+                    np.float32))
+        # chunk + pad to ONE program shape: detect_language compiles per
+        # batch shape, and fresh shapes cost minutes over a remote chip
+        lang_of_input = {}
+        det_b = min(batch_size, len(det_mels))
+        for c0 in range(0, len(det_mels), det_b):
+            part = det_mels[c0 : c0 + det_b]
+            pad = det_b - len(part) if len(det_mels) > det_b else 0
+            stack = np.stack(part + [part[-1]] * pad)
+            _, probs = model.detect_language(jnp.asarray(stack))
+            for off, p in enumerate(probs[: len(part)]):
+                lang_of_input[c0 + off] = max(p, key=p.get)
         language_groups = {}
         for k, w in enumerate(windows):
             language_groups.setdefault(lang_of_input[w.input_idx], []).append(k)
     else:
+        lang_of_input = {i: language for i in range(len(audios))}
         language_groups = {language: list(range(len(windows)))}
     if initial_prompt is not None:
         decode_options["prompt"] = " " + initial_prompt.strip()
@@ -728,9 +748,8 @@ def transcribe_batch(
                     alignment=alignment,
                 )
 
-    input_lang = {w.input_idx: win_lang[k] for k, w in enumerate(windows)}
     outputs = [
-        dict(text="", segments=[], language=input_lang.get(i, language))
+        dict(text="", segments=[], language=lang_of_input[i])
         for i in range(len(audios))
     ]
     for win, segments in zip(windows, window_segments):

@@ -138,6 +138,29 @@ def test_batch_auto_language_detects_per_input(multi_models):
         assert out["text"] == seq["text"]
 
 
+def test_batch_auto_language_zero_window_input(multi_models):
+    """An input whose clip_timestamps exclude every window still gets a
+    detected language in its output dict (the reference detects on the
+    file's first 30 s regardless); detection also chunks to batch_size."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    _, our_model = multi_models
+    rng = np.random.RandomState(41)
+    short = (rng.randn(2 * 16000) * 0.1).astype(np.float32)   # 2 s
+    longer = (rng.randn(40 * 16000) * 0.1).astype(np.float32)  # 40 s
+    kwargs = dict(without_timestamps=True, sample_len=6, temperature=0.0,
+                  fp16=False, no_speech_threshold=None)
+    # clips start at 35 s: the short file gets ZERO windows
+    outs = transcribe_batch(our_model, [short, longer], batch_size=1,
+                            clip_timestamps="35", **kwargs)
+    assert outs[0]["segments"] == [] and outs[0]["text"] == ""
+    assert isinstance(outs[0]["language"], str) and outs[0]["language"]
+    # the zero-window input's language equals its own sequential detection
+    seq = transcribe(our_model, short, verbose=None, **kwargs)
+    assert outs[0]["language"] == seq["language"]
+    assert isinstance(outs[1]["language"], str) and outs[1]["language"]
+
+
 def test_clip_timestamps_parity(en_models, long_wave):
     """clip_timestamps windows restrict the seek loop identically
     (reference transcribe.py:168-177, :272-281)."""
