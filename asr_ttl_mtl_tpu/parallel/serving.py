@@ -163,6 +163,25 @@ def decode_batched_dp(
     zero-padded up to a multiple of the dp size and the padded rows dropped.
     Returns a list of DecodingResult.
     """
+    return collect_batched_dp(
+        dispatch_batched_dp(model, mels, options, mesh, rng_seed,
+                            **option_kwargs)
+    )
+
+
+def dispatch_batched_dp(
+    model,
+    mels,
+    options=None,
+    mesh=None,
+    rng_seed: int = 0,
+    **option_kwargs,
+):
+    """Launch a mesh decode WITHOUT fetching (JAX dispatch is async): the
+    returned handle lets transcribe_batch keep the next chunk's device work
+    in flight while this chunk's results cross the host boundary — the mesh
+    equivalent of DecodingTask.submit/collect. Fetch with
+    :func:`collect_batched_dp`."""
     from ..decoding import (
         DecodingOptions,
         DecodingResult,
@@ -239,9 +258,7 @@ def decode_batched_dp(
                 jnp.asarray(task.sot_index, jnp.int32),
                 jnp.asarray(no_speech, jnp.int32),
             )
-        tokens, sum_logprobs, no_speech_probs = assemble_beam_results(
-            [np.asarray(o) for o in outs], B, K, valid_len, task.tokenizer.eot
-        )
+        return ("beam", task, options, outs, (B, K, valid_len, n_audio))
     else:
         build = _build_tp_greedy if use_pjit else _build_dp_greedy
         sharded = build(
@@ -249,7 +266,7 @@ def decode_batched_dp(
             task._dtype_name, task.kv_quant,
         )
 
-        buf, sum_lp, ns_probs, n_sampled = sharded(
+        arrays = sharded(
                 params,
                 mel_dev,
                 toks_dev,
@@ -259,7 +276,25 @@ def decode_batched_dp(
                 jnp.asarray(options.temperature, jnp.float32),
                 jnp.asarray(rng_seed, jnp.int32),
             )
+        return ("greedy", task, options, arrays, (B, n_group, valid_len, n_audio))
 
+
+def collect_batched_dp(handle) -> List:
+    """Fetch + assemble a :func:`dispatch_batched_dp` launch."""
+    from ..decoding import DecodingResult, MaximumLikelihoodRanker
+    from ..utils import compression_ratio
+
+    kind, task, options, arrays, meta = handle
+    if kind == "beam":
+        from ..beam import assemble_beam_results
+
+        B, K, valid_len, n_audio = meta
+        tokens, sum_logprobs, no_speech_probs = assemble_beam_results(
+            [np.asarray(o) for o in arrays], B, K, valid_len, task.tokenizer.eot
+        )
+    else:
+        B, n_group, valid_len, n_audio = meta
+        buf, sum_lp, ns_probs, n_sampled = arrays
         tokens, sum_logprobs, no_speech_probs = task._assemble_greedy(
             buf, sum_lp, ns_probs, np.asarray(n_sampled), B, n_group, valid_len
         )

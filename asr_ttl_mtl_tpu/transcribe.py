@@ -629,7 +629,7 @@ def transcribe_batch(
     )
 
     if mesh is not None:
-        from .parallel.serving import decode_batched_dp
+        from .parallel.serving import collect_batched_dp, dispatch_batched_dp
 
     tasks: dict = {}  # DecodingTask per (rung, language); the jitted programs
     # underneath are lru-cached on static config only, so all rungs AND all
@@ -640,11 +640,11 @@ def transcribe_batch(
         task = tasks.get((t, lang))
         if task is None:
             task = tasks[(t, lang)] = DecodingTask(model, options)
-        pending: List[tuple] = []  # (group, submit handle), ≤2 in flight
+        pending: List[tuple] = []  # (group, collect_fn, handle), ≤2 in flight
 
         def drain_one() -> None:
-            group, handle = pending.pop(0)
-            for k, res in zip(group, task.collect(handle)):
+            group, collect_fn, handle = pending.pop(0)
+            for k, res in zip(group, collect_fn(handle)):
                 results[k] = res
 
         # every chunk — including ladder-retry subsets smaller than the first
@@ -657,16 +657,19 @@ def transcribe_batch(
             chunk = [windows[k].mel for k in group]
             if len(chunk) < program_b:
                 chunk += [np.zeros_like(chunk[0])] * (program_b - len(chunk))
+            # depth-2 dispatch pipeline (single device AND mesh): the next
+            # chunk's device work overlaps this chunk's fetch + host assembly
             if mesh is not None:
-                out = decode_batched_dp(model, np.stack(chunk), options, mesh=mesh)
-                for k, res in zip(group, out):
-                    results[k] = res
+                handle = dispatch_batched_dp(
+                    model, np.stack(chunk), options, mesh=mesh
+                )
+                pending.append((group, collect_batched_dp, handle))
             else:
-                # depth-2 dispatch pipeline: the next chunk's device work
-                # overlaps this chunk's fetch round-trip + host assembly
-                pending.append((group, task.submit(jnp.asarray(np.stack(chunk)))))
-                if len(pending) >= 2:
-                    drain_one()
+                pending.append(
+                    (group, task.collect, task.submit(jnp.asarray(np.stack(chunk))))
+                )
+            if len(pending) >= 2:
+                drain_one()
         while pending:
             drain_one()
 
