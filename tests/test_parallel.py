@@ -308,6 +308,33 @@ def test_transcribe_batch_over_mesh(params):
         ]
 
 
+def test_transcribe_batch_over_mesh_multi_chunk(params):
+    """Mesh path with more windows than batch_size: several chunks flow
+    through the depth-2 dispatch/collect pipeline (dispatch_batched_dp +
+    deferred collect) and still match single-device output exactly."""
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import PRESET_DIMS
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    dims = PRESET_DIMS["tiny.en"].replace(n_audio_layer=1, n_text_layer=1)
+    vocab_params = W.init_params(jax.random.PRNGKey(1), dims)
+    model = WhisperModel(dims=dims, params=vocab_params, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(29)
+    audios = [
+        (rng.randn(2 * 16000) * 0.1).astype(np.float32) for _ in range(5)
+    ]
+    # batch_size=2 over 5 windows -> 3 chunks: exercises two handles in
+    # flight plus the final drain, on the mesh path
+    common = dict(language="en", without_timestamps=True, sample_len=8,
+                  fp16=False, batch_size=2, temperature=0.0)
+    single = transcribe_batch(model, audios, **common)
+    sharded = transcribe_batch(model, audios, mesh=create_mesh((8, 1)), **common)
+    assert len(sharded) == len(single) == 5
+    for a, b in zip(sharded, single):
+        assert a["text"] == b["text"]
+
+
 def test_decode_batched_dp_with_kv_quant(params):
     """dp serving composes with the int8 cross-KV mode: results match the
     single-device kv_quant path exactly (same quantized numerics)."""
