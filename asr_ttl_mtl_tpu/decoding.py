@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .audio import CHUNK_LENGTH
-from .tokenizer import Tokenizer, get_tokenizer
+from .tokenizer import Tokenizer, get_tokenizer, normalize_language
 from .utils import compression_ratio
 
 if TYPE_CHECKING:
@@ -578,6 +578,12 @@ class DecodingTask:
     def __init__(self, model: "WhisperModel", options: DecodingOptions):
         self.model = model
 
+        if options.language is not None:
+            # accept names/any case ("Spanish", "ES") like upstream whisper;
+            # results and downstream comparisons carry the code
+            normalized = normalize_language(options.language)
+            if normalized != options.language:
+                options = replace(options, language=normalized)
         language = options.language or "en"
         tokenizer = get_tokenizer(
             model.is_multilingual,

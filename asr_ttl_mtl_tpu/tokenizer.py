@@ -79,6 +79,27 @@ TO_LANGUAGE_CODE = {
     **_ALT_LANGUAGE_NAMES,
 }
 
+
+def normalize_language(language: Optional[str]) -> Optional[str]:
+    """Map a language name or code (any case) to its code, or raise.
+
+    Upstream whisper normalizes inside get_tokenizer (accepting "Spanish",
+    "ES", "castilian", ...); the vendored reference copy dropped that block,
+    so `--language Spanish` crashes there with a bare
+    `tuple.index(x): x not in tuple`. That is breakage, not a quirk — this
+    framework restores the intended behavior (clean "Unsupported language"
+    error included).
+    """
+    if language is None:
+        return None
+    lowered = language.lower()
+    if lowered in LANGUAGES:
+        return lowered
+    code = TO_LANGUAGE_CODE.get(lowered)
+    if code is None:
+        raise ValueError(f"Unsupported language: {language}")
+    return code
+
 _VOCAB_URLS = {
     "gpt2": "https://openaipublic.blob.core.windows.net/gpt-2/encodings/main/vocab.bpe",
     # tiktoken-format rank files as shipped with openai/whisper
@@ -374,6 +395,7 @@ def get_tokenizer(
     both appends the disease tokens and (as in the reference) pulls `yue`
     into the multilingual language block — see the module docstring.
     """
+    language = normalize_language(language)
     if multilingual:
         encoding_name = "multilingual"
         language = language or "en"

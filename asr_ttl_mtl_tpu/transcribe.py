@@ -38,7 +38,7 @@ from .audio import (
     pad_or_trim,
 )
 from .decoding import DecodingOptions, DecodingResult
-from .tokenizer import LANGUAGES, get_tokenizer
+from .tokenizer import LANGUAGES, get_tokenizer, normalize_language
 from .utils import exact_div, format_timestamp, get_end, make_safe
 
 if TYPE_CHECKING:
@@ -304,7 +304,8 @@ def transcribe(
     content_frames = mel.shape[-1] - N_FRAMES
     content_duration = _frames_to_sec(content_frames)
 
-    language = decode_options.get("language")
+    language = normalize_language(decode_options.get("language"))
+    decode_options["language"] = language
     if language is None:
         if model.is_multilingual:
             if verbose:
@@ -577,7 +578,7 @@ def transcribe_batch(
         return [dict(text="", segments=[], language=decode_options.get("language"))
                 for _ in audios]
 
-    language = decode_options.pop("language", None)
+    language = normalize_language(decode_options.pop("language", None))
     if language is None and not model.is_multilingual:
         language = "en"
     if language is None:

@@ -32,8 +32,37 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
+def _tpu_tunnel_up(timeout: float = 180.0) -> bool:
+    """Bounded TPU-backend probe in a subprocess.
+
+    The remote-attached (axon tunnel) backend can be DOWN for hours, in which
+    case jax.devices() in this process would either hang forever or raise —
+    and the driver's bench run would record nothing. Probing in a child
+    process bounds both failure modes; on failure the bench falls back to CPU
+    so it still prints its one JSON line.
+    """
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert any(d.platform == 'tpu' for d in jax.devices())"],
+            timeout=timeout, capture_output=True,
+        )
+        return proc.returncode == 0
+    except Exception:  # TimeoutExpired (hang) or spawn failure
+        return False
+
+
 def main():
     import jax
+
+    if not _tpu_tunnel_up():
+        # must happen before first backend use; the env var alone loses to
+        # the container sitecustomize prepending 'axon' (see CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

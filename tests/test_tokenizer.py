@@ -103,3 +103,47 @@ def test_parity_with_reference(multilingual, include_diseases):
     ref_words, ref_word_tokens = ref.split_to_word_tokens(ids)
     assert words == ref_words
     assert word_tokens == ref_word_tokens
+
+
+def test_language_name_normalization():
+    """Upstream whisper accepts language NAMES and any case; the vendored
+    reference dropped that normalization so `--language Spanish` crashes with
+    a bare tuple.index error (breakage, not replicated — SURVEY §5 policy).
+    """
+    es = T.get_tokenizer(True, language="es", task="transcribe")
+    for alias in ("Spanish", "ES", "spanish", "castilian"):
+        tok = T.get_tokenizer(True, language=alias, task="transcribe")
+        assert tok.language == "es"
+        assert tok.sot_sequence == es.sot_sequence
+
+    assert T.normalize_language(None) is None
+    assert T.normalize_language("Burmese") == "my"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unsupported language"):
+        T.get_tokenizer(True, language="klingon")
+
+
+def test_decoding_task_normalizes_language():
+    import jax.numpy as jnp
+
+    from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+
+    import jax
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=32, n_audio_state=64, n_audio_head=1,
+        n_audio_layer=1, n_vocab=51865, n_text_ctx=32, n_text_state=64,
+        n_text_head=1, n_text_layer=1,
+    )
+    model = WhisperModel(
+        dims=dims, params=W.init_params(jax.random.PRNGKey(0), dims),
+        compute_dtype=jnp.float32,
+    )
+    task = DecodingTask(model, DecodingOptions(language="German", sample_len=4))
+    assert task.options.language == "de"
+    assert task.tokenizer.language == "de"
