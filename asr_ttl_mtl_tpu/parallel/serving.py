@@ -182,14 +182,7 @@ def dispatch_batched_dp(
     in flight while this chunk's results cross the host boundary — the mesh
     equivalent of DecodingTask.submit/collect. Fetch with
     :func:`collect_batched_dp`."""
-    from ..decoding import (
-        DecodingOptions,
-        DecodingResult,
-        DecodingTask,
-        MaximumLikelihoodRanker,
-        _bucket,
-    )
-    from ..utils import compression_ratio
+    from ..decoding import DecodingOptions, DecodingTask, _bucket
 
     if options is None:
         options = DecodingOptions(**option_kwargs)
@@ -239,8 +232,6 @@ def dispatch_batched_dp(
         params, mel_dev, toks_dev = model.params, jnp.asarray(mels), padded
 
     if options.beam_size is not None:
-        from ..beam import assemble_beam_results
-
         K = options.beam_size
         patience = options.patience or 1.0
         C = round(K * patience)

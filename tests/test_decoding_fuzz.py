@@ -39,7 +39,9 @@ DIMS = ModelDimensions(
     n_text_layer=2,
 )
 
-N_CONFIGS = 24  # seeded; bump locally for a deeper sweep
+import os
+
+N_CONFIGS = int(os.environ.get("FUZZ_N", "24"))  # seeded; FUZZ_N=200 for a deep sweep
 
 
 @pytest.fixture(scope="module")

@@ -27,7 +27,9 @@ if not reference_available():
 
 import_reference_whisper()
 
-N_CONFIGS = 10  # seeded; bump locally for a deeper sweep
+import os
+
+N_CONFIGS = int(os.environ.get("FUZZ_N", "10"))  # seeded; FUZZ_N=50 for a deep sweep
 
 
 @pytest.fixture(scope="module")
