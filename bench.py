@@ -119,7 +119,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "base_batched_greedy_transcribe_throughput",
+                "metric": "base_batched_greedy_transcribe_throughput"
+                + ("" if on_tpu else "_CPU_FALLBACK_TUNNEL_DOWN"),
                 "value": round(value, 2),
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(value / 10.0, 3),
