@@ -6,10 +6,13 @@ percent / ordinal handling), `EnglishSpellingNormalizer` (British->American
 spelling map) and the top-level `EnglishTextNormalizer` contraction rules.
 
 The number normalizer here is organized as an explicit emitter object
-(`_Emitter`) carrying the in-progress (prefix, value) state with one handler
-per token category, rather than the reference's single generator with
-nonlocal state — semantics are identical (see tests/test_normalizers.py for
-the differential tests against the reference on a corpus of edge cases).
+(`_Emitter`) carrying the in-progress (prefix, value) state, with one handler
+per token category dispatched from a category table, rather than the
+reference's single generator with nonlocal state — semantics are identical
+(see tests/test_normalizers.py for the differential tests against the
+reference on a corpus of edge cases). The contraction/title rules are kept as
+plain word tables; the regexes the reference spells out inline are derived
+from them at construction time.
 """
 
 from __future__ import annotations
@@ -24,12 +27,39 @@ from .basic import remove_symbols_and_diacritics
 
 _NUMERIC_RE = re.compile(r"^\d+(\.\d+)?$")
 
+# -- precompiled patterns used by the pre/post-processing passes --------------
+_AND_A_HALF_RE = re.compile(r"\band\s+a\s+half\b")
+_LETTER_THEN_DIGIT_RE = re.compile(r"([a-z])([0-9])")
+_DIGIT_THEN_LETTER_RE = re.compile(r"([0-9])([a-z])")
+_DETACHED_ORDINAL_RE = re.compile(r"([0-9])\s+(st|nd|rd|th|s)\b")
+_CURRENCY_AND_CENTS_RE = re.compile(r"([€£$])([0-9]+) (?:and )?¢([0-9]{1,2})\b")
+_SUBDOLLAR_RE = re.compile(r"[€£$]0.([0-9]{1,2})\b")
+_LITERAL_ONE_RE = re.compile(r"\b1(s?)\b")
 
-def _fraction_or_none(s) -> Optional[Fraction]:
+_BRACKETED_RE = re.compile(r"[<\[][^>\]]*[>\]]")
+_PARENTHESIZED_RE = re.compile(r"\(([^)]+?)\)")
+_DETACHED_APOSTROPHE_RE = re.compile(r"\s+'")
+_DIGIT_GROUP_COMMA_RE = re.compile(r"(\d),(\d)")
+_NON_NUMERIC_PERIOD_RE = re.compile(r"\.([^0-9]|$)")
+_DANGLING_SYMBOL_RE = re.compile(r"[.$¢€£]([^0-9])")
+_DANGLING_PERCENT_RE = re.compile(r"([^0-9])%")
+_WHITESPACE_RE = re.compile(r"\s+")
+
+
+def _as_fraction(token) -> Optional[Fraction]:
     try:
-        return Fraction(s)
+        value = Fraction(token)
     except ValueError:
-        return None
+        value = None
+    return value
+
+
+def _pluralize(word: str) -> str:
+    return "sixes" if word == "six" else word + "s"
+
+
+def _ordinalize(word: str) -> str:
+    return word + ("h" if word.endswith("t") else "th")
 
 
 class _Emitter:
@@ -45,12 +75,12 @@ class _Emitter:
         """Finalize `result` (default: the pending value) into the output."""
         if result is None:
             result = self.value
-        result = str(result)
+        text = str(result)
         if self.prefix is not None:
-            result = self.prefix + result
+            text = self.prefix + text
         self.prefix = None
         self.value = None
-        self.out.append(result)
+        self.out.append(text)
 
     def flush_pending(self):
         if self.value is not None:
@@ -76,52 +106,51 @@ class EnglishNumberNormalizer:
         ]
         self.ones = {name: i + 1 for i, name in enumerate(one_names)}
         self.ones_plural = {
-            ("sixes" if name == "six" else name + "s"): (value, "s")
-            for name, value in self.ones.items()
+            _pluralize(name): (value, "s") for name, value in self.ones.items()
         }
         irregular_ordinals = {
             "zeroth": (0, "th"), "first": (1, "st"), "second": (2, "nd"),
             "third": (3, "rd"), "fifth": (5, "th"), "twelfth": (12, "th"),
         }
-        self.ones_ordinal = {
-            **irregular_ordinals,
-            **{
-                name + ("h" if name.endswith("t") else "th"): (value, "th")
-                for name, value in self.ones.items()
-                if value > 3 and value not in (5, 12)
-            },
+        regular_ordinals = {
+            _ordinalize(name): (value, "th")
+            for name, value in self.ones.items()
+            if value > 3 and value not in (5, 12)
         }
-        self.ones_suffixed = {**self.ones_plural, **self.ones_ordinal}
+        self.ones_ordinal = dict(irregular_ordinals)
+        self.ones_ordinal.update(regular_ordinals)
+        self.ones_suffixed = dict(self.ones_plural)
+        self.ones_suffixed.update(self.ones_ordinal)
 
         self.tens = {
             "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
             "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
         }
-        self.tens_suffixed = {
-            **{n.replace("y", "ies"): (v, "s") for n, v in self.tens.items()},
-            **{n.replace("y", "ieth"): (v, "th") for n, v in self.tens.items()},
-        }
+        self.tens_suffixed = {}
+        for name, value in self.tens.items():
+            self.tens_suffixed[name.replace("y", "ies")] = (value, "s")
+            self.tens_suffixed[name.replace("y", "ieth")] = (value, "th")
 
-        names = ["hundred", "thousand", "million", "billion", "trillion",
-                 "quadrillion", "quintillion", "sextillion", "septillion",
-                 "octillion", "nonillion", "decillion"]
+        multiplier_names = [
+            "hundred", "thousand", "million", "billion", "trillion",
+            "quadrillion", "quintillion", "sextillion", "septillion",
+            "octillion", "nonillion", "decillion",
+        ]
         self.multipliers = {
             name: 100 if name == "hundred" else 10 ** (3 * i)
-            for i, name in enumerate(names)
+            for i, name in enumerate(multiplier_names)
         }
-        self.multipliers_suffixed = {
-            **{n + "s": (v, "s") for n, v in self.multipliers.items()},
-            **{n + "th": (v, "th") for n, v in self.multipliers.items()},
-        }
-        self.decimals = {*self.ones, *self.tens, *self.zeros}
+        self.multipliers_suffixed = {}
+        for name, value in self.multipliers.items():
+            self.multipliers_suffixed[name + "s"] = (value, "s")
+            self.multipliers_suffixed[name + "th"] = (value, "th")
+        self.decimals = set(self.ones) | set(self.tens) | set(self.zeros)
 
-        self.preceding_prefixers = {
-            "minus": "-", "negative": "-", "plus": "+", "positive": "+",
-        }
-        self.following_prefixers = {
-            "pound": "£", "pounds": "£", "euro": "€", "euros": "€",
-            "dollar": "$", "dollars": "$", "cent": "¢", "cents": "¢",
-        }
+        self.preceding_prefixers = {"minus": "-", "negative": "-", "plus": "+", "positive": "+"}
+        self.following_prefixers = {}
+        for currency, symbol in (("pound", "£"), ("euro", "€"), ("dollar", "$"), ("cent", "¢")):
+            self.following_prefixers[currency] = symbol
+            self.following_prefixers[currency + "s"] = symbol
         self.prefixes = set(self.preceding_prefixers.values()) | set(
             self.following_prefixers.values()
         )
@@ -136,207 +165,224 @@ class EnglishNumberNormalizer:
         )
         self.literal_words = {"one", "ones"}
 
-    # -- per-category handlers (each mirrors one branch of the reference's
-    # state machine, timing preserved exactly) -------------------------------
+        # category dispatch for process_words, checked in this order (the
+        # reference's elif chain order; a token in several tables takes the
+        # earliest category)
+        self._categories = (
+            (self.zeros, self._handle_zero),
+            (self.ones, self._handle_one),
+            (self.ones_suffixed, self._handle_one_suffixed),
+            (self.tens, self._handle_ten),
+            (self.tens_suffixed, self._handle_ten_suffixed),
+            (self.multipliers, self._handle_multiplier),
+            (self.multipliers_suffixed, self._handle_multiplier_suffixed),
+            (self.preceding_prefixers, self._handle_preceding_prefixer),
+            (self.following_prefixers, self._handle_following_prefixer),
+            (self.suffixers, self._handle_suffixer),
+            (self.specials, self._handle_special),
+        )
+
+    # -- per-category handlers (uniform signature; each mirrors one branch of
+    # the reference's state machine, flush timing preserved exactly; returns
+    # True to consume the following token) -----------------------------------
 
     def _handle_arabic(self, em: _Emitter, current: str):
-        has_prefix = current[0] in self.prefixes
-        bare = current[1:] if has_prefix else current
-        f = _fraction_or_none(bare)
-        assert f is not None
+        leading = current[0] in self.prefixes
+        digits = current[1:] if leading else current
+        frac = _as_fraction(digits)
+        assert frac is not None
         if em.value is not None:
             if isinstance(em.value, str) and em.value.endswith("."):
                 # decimal continuation / dotted sequences like IP addresses
                 em.value = str(em.value) + str(current)
                 return
             em.flush()
-        if has_prefix:
+        if leading:
             em.prefix = current[0]
-        em.value = f.numerator if f.denominator == 1 else bare
+        em.value = frac.numerator if frac.denominator == 1 else digits
 
-    def _handle_one(self, em: _Emitter, prev: Optional[str], current: str):
-        ones = self.ones[current]
+    def _handle_zero(self, em, prev, current, nxt, next_is_numeric):
+        em.append_digits("0")
+
+    def _handle_one(self, em, prev, current, nxt, next_is_numeric):
+        unit = self.ones[current]
         if em.value is None:
-            em.value = ones
+            em.value = unit
         elif isinstance(em.value, str) or prev in self.ones:
-            if prev in self.tens and ones < 10:
+            if prev in self.tens and unit < 10:
                 assert em.value[-1] == "0"
-                em.value = em.value[:-1] + str(ones)  # fill the tens slot
+                em.value = em.value[:-1] + str(unit)  # fill the tens slot
             else:
-                em.value = str(em.value) + str(ones)
-        elif ones < 10:
+                em.value = str(em.value) + str(unit)
+        elif unit < 10:
             if em.value % 10 == 0:
-                em.value += ones
+                em.value += unit
             else:
-                em.value = str(em.value) + str(ones)
+                em.value = str(em.value) + str(unit)
         else:  # eleven..nineteen
             if em.value % 100 == 0:
-                em.value += ones
+                em.value += unit
             else:
-                em.value = str(em.value) + str(ones)
+                em.value = str(em.value) + str(unit)
 
-    def _handle_one_suffixed(self, em: _Emitter, prev: Optional[str], current: str):
-        ones, suffix = self.ones_suffixed[current]
+    def _handle_one_suffixed(self, em, prev, current, nxt, next_is_numeric):
+        unit, tail = self.ones_suffixed[current]
         if em.value is None:
-            em.flush(str(ones) + suffix)
+            em.flush(str(unit) + tail)
         elif isinstance(em.value, str) or prev in self.ones:
-            if prev in self.tens and ones < 10:
+            if prev in self.tens and unit < 10:
                 assert em.value[-1] == "0"
-                em.flush(em.value[:-1] + str(ones) + suffix)
+                em.flush(em.value[:-1] + str(unit) + tail)
             else:
-                em.flush(str(em.value) + str(ones) + suffix)
-        elif ones < 10:
+                em.flush(str(em.value) + str(unit) + tail)
+        elif unit < 10:
             if em.value % 10 == 0:
-                em.flush(str(em.value + ones) + suffix)
+                em.flush(str(em.value + unit) + tail)
             else:
-                em.flush(str(em.value) + str(ones) + suffix)
+                em.flush(str(em.value) + str(unit) + tail)
         else:
             if em.value % 100 == 0:
-                em.flush(str(em.value + ones) + suffix)
+                em.flush(str(em.value + unit) + tail)
             else:
-                em.flush(str(em.value) + str(ones) + suffix)
+                em.flush(str(em.value) + str(unit) + tail)
         em.value = None
 
-    def _handle_ten(self, em: _Emitter, current: str):
-        tens = self.tens[current]
+    def _handle_ten(self, em, prev, current, nxt, next_is_numeric):
+        ten = self.tens[current]
         if em.value is None:
-            em.value = tens
+            em.value = ten
         elif isinstance(em.value, str):
-            em.value = str(em.value) + str(tens)
+            em.value = str(em.value) + str(ten)
         elif em.value % 100 == 0:
-            em.value += tens
+            em.value += ten
         else:
-            em.value = str(em.value) + str(tens)
+            em.value = str(em.value) + str(ten)
 
-    def _handle_ten_suffixed(self, em: _Emitter, current: str):
-        tens, suffix = self.tens_suffixed[current]
+    def _handle_ten_suffixed(self, em, prev, current, nxt, next_is_numeric):
+        ten, tail = self.tens_suffixed[current]
         if em.value is None:
-            em.flush(str(tens) + suffix)
+            em.flush(str(ten) + tail)
         elif isinstance(em.value, str):
-            em.flush(str(em.value) + str(tens) + suffix)
+            em.flush(str(em.value) + str(ten) + tail)
         elif em.value % 100 == 0:
-            em.flush(str(em.value + tens) + suffix)
+            em.flush(str(em.value + ten) + tail)
         else:
-            em.flush(str(em.value) + str(tens) + suffix)
+            em.flush(str(em.value) + str(ten) + tail)
 
-    def _handle_multiplier(self, em: _Emitter, current: str):
-        multiplier = self.multipliers[current]
+    def _handle_multiplier(self, em, prev, current, nxt, next_is_numeric):
+        factor = self.multipliers[current]
         if em.value is None:
-            em.value = multiplier
+            em.value = factor
         elif isinstance(em.value, str) or em.value == 0:
-            f = _fraction_or_none(em.value)
-            p = f * multiplier if f is not None else None
-            if f is not None and p.denominator == 1:
-                em.value = p.numerator
+            frac = _as_fraction(em.value)
+            scaled = frac * factor if frac is not None else None
+            if frac is not None and scaled.denominator == 1:
+                em.value = scaled.numerator
             else:
                 em.flush()
-                em.value = multiplier
+                em.value = factor
         else:
-            before = em.value // 1000 * 1000
-            residual = em.value % 1000
-            em.value = before + residual * multiplier
+            head = em.value // 1000 * 1000
+            tail = em.value % 1000
+            em.value = head + tail * factor
 
-    def _handle_multiplier_suffixed(self, em: _Emitter, current: str):
-        multiplier, suffix = self.multipliers_suffixed[current]
+    def _handle_multiplier_suffixed(self, em, prev, current, nxt, next_is_numeric):
+        factor, suffix = self.multipliers_suffixed[current]
         if em.value is None:
-            em.flush(str(multiplier) + suffix)
+            em.flush(str(factor) + suffix)
         elif isinstance(em.value, str):
-            f = _fraction_or_none(em.value)
-            p = f * multiplier if f is not None else None
-            if f is not None and p.denominator == 1:
-                em.flush(str(p.numerator) + suffix)
+            frac = _as_fraction(em.value)
+            scaled = frac * factor if frac is not None else None
+            if frac is not None and scaled.denominator == 1:
+                em.flush(str(scaled.numerator) + suffix)
             else:
                 em.flush()
-                em.flush(str(multiplier) + suffix)
+                em.flush(str(factor) + suffix)
         else:
-            before = em.value // 1000 * 1000
-            residual = em.value % 1000
-            em.value = before + residual * multiplier
+            head = em.value // 1000 * 1000
+            tail = em.value % 1000
+            em.value = head + tail * factor
             em.flush(str(em.value) + suffix)
         em.value = None
+
+    def _handle_preceding_prefixer(self, em, prev, current, nxt, next_is_numeric):
+        em.flush_pending()
+        if (nxt in self.words) or next_is_numeric:
+            em.prefix = self.preceding_prefixers[current]
+        else:
+            em.flush(current)
+
+    def _handle_following_prefixer(self, em, prev, current, nxt, next_is_numeric):
+        if em.value is not None:
+            em.prefix = self.following_prefixers[current]
+            em.flush()
+        else:
+            em.flush(current)
+
+    def _handle_suffixer(self, em, prev, current, nxt, next_is_numeric):
+        if em.value is None:
+            em.flush(current)
+            return
+        tail = self.suffixers[current]
+        if isinstance(tail, dict):
+            if nxt in tail:
+                em.flush(str(em.value) + tail[nxt])
+                return True  # consumed the following token
+            em.flush()
+            em.flush(current)
+        else:
+            em.flush(str(em.value) + tail)
+
+    def _handle_special(self, em, prev, current, nxt, next_is_numeric):
+        if (nxt not in self.words) and not next_is_numeric:
+            em.flush_pending()
+            em.flush(current)
+        elif current == "and":
+            # "and" between multiplier groups is dropped
+            if prev not in self.multipliers:
+                em.flush_pending()
+                em.flush(current)
+        elif current in ("double", "triple"):
+            if nxt in self.ones or nxt in self.zeros:
+                count = {"double": 2, "triple": 3}[current]
+                em.append_digits(str(self.ones.get(nxt, 0)) * count)
+                return True
+            em.flush_pending()
+            em.flush(current)
+        elif current == "point":
+            if nxt in self.decimals or next_is_numeric:
+                em.append_digits(".")
+        else:  # pragma: no cover
+            raise ValueError(f"Unexpected token: {current}")
 
     # -- driver ---------------------------------------------------------------
 
     def process_words(self, words: List[str]) -> List[str]:
         em = _Emitter()
-        skip = False
-        n = len(words)
-        for i, current in enumerate(words):
-            if skip:
-                skip = False
+        consume_next = False
+        total = len(words)
+        for position, current in enumerate(words):
+            if consume_next:
+                consume_next = False
                 continue
-            prev = words[i - 1] if i > 0 else None
-            nxt = words[i + 1] if i + 1 < n else None
+            prev = words[position - 1] if position > 0 else None
+            nxt = words[position + 1] if position + 1 < total else None
             next_is_numeric = nxt is not None and _NUMERIC_RE.match(nxt)
-            bare = current[1:] if current[0] in self.prefixes else current
+            stripped = current[1:] if current[0] in self.prefixes else current
 
-            if _NUMERIC_RE.match(bare):
+            if _NUMERIC_RE.match(stripped):
                 self._handle_arabic(em, current)
-            elif current not in self.words:
+                continue
+            if current not in self.words:
                 em.flush_pending()
                 em.flush(current)
-            elif current in self.zeros:
-                em.append_digits("0")
-            elif current in self.ones:
-                self._handle_one(em, prev, current)
-            elif current in self.ones_suffixed:
-                self._handle_one_suffixed(em, prev, current)
-            elif current in self.tens:
-                self._handle_ten(em, current)
-            elif current in self.tens_suffixed:
-                self._handle_ten_suffixed(em, current)
-            elif current in self.multipliers:
-                self._handle_multiplier(em, current)
-            elif current in self.multipliers_suffixed:
-                self._handle_multiplier_suffixed(em, current)
-            elif current in self.preceding_prefixers:
-                em.flush_pending()
-                if (nxt in self.words) or next_is_numeric:
-                    em.prefix = self.preceding_prefixers[current]
-                else:
-                    em.flush(current)
-            elif current in self.following_prefixers:
-                if em.value is not None:
-                    em.prefix = self.following_prefixers[current]
-                    em.flush()
-                else:
-                    em.flush(current)
-            elif current in self.suffixers:
-                if em.value is not None:
-                    suffix = self.suffixers[current]
-                    if isinstance(suffix, dict):
-                        if nxt in suffix:
-                            em.flush(str(em.value) + suffix[nxt])
-                            skip = True
-                        else:
-                            em.flush()
-                            em.flush(current)
-                    else:
-                        em.flush(str(em.value) + suffix)
-                else:
-                    em.flush(current)
-            elif current in self.specials:
-                if (nxt not in self.words) and not next_is_numeric:
-                    em.flush_pending()
-                    em.flush(current)
-                elif current == "and":
-                    # "and" between multiplier groups is dropped
-                    if prev not in self.multipliers:
-                        em.flush_pending()
-                        em.flush(current)
-                elif current in ("double", "triple"):
-                    if nxt in self.ones or nxt in self.zeros:
-                        repeats = 2 if current == "double" else 3
-                        em.append_digits(str(self.ones.get(nxt, 0)) * repeats)
-                        skip = True
-                    else:
-                        em.flush_pending()
-                        em.flush(current)
-                elif current == "point":
-                    if nxt in self.decimals or next_is_numeric:
-                        em.append_digits(".")
-                else:  # pragma: no cover
-                    raise ValueError(f"Unexpected token: {current}")
+                continue
+            for table, handler in self._categories:
+                if current in table:
+                    consume_next = bool(
+                        handler(em, prev, current, nxt, next_is_numeric)
+                    )
+                    break
             else:  # pragma: no cover
                 raise ValueError(f"Unexpected token: {current}")
 
@@ -345,47 +391,45 @@ class EnglishNumberNormalizer:
 
     def preprocess(self, s: str) -> str:
         # "<number> and a half" -> "<number> point five"
-        results = []
-        segments = re.split(r"\band\s+a\s+half\b", s)
-        for i, segment in enumerate(segments):
-            if len(segment.strip()) == 0:
+        pieces = _AND_A_HALF_RE.split(s)
+        rebuilt: List[str] = []
+        last_index = len(pieces) - 1
+        for index, piece in enumerate(pieces):
+            if not piece.strip():
                 continue
-            if i == len(segments) - 1:
-                results.append(segment)
+            rebuilt.append(piece)
+            if index == last_index:
+                continue
+            tail_word = piece.rsplit(maxsplit=2)[-1]
+            if tail_word in self.decimals or tail_word in self.multipliers:
+                rebuilt.append("point five")
             else:
-                results.append(segment)
-                last_word = segment.rsplit(maxsplit=2)[-1]
-                if last_word in self.decimals or last_word in self.multipliers:
-                    results.append("point five")
-                else:
-                    results.append("and a half")
-        s = " ".join(results)
+                rebuilt.append("and a half")
+        s = " ".join(rebuilt)
 
         # separate digits glued to letters, but keep ordinal/plural suffixes
-        s = re.sub(r"([a-z])([0-9])", r"\1 \2", s)
-        s = re.sub(r"([0-9])([a-z])", r"\1 \2", s)
-        s = re.sub(r"([0-9])\s+(st|nd|rd|th|s)\b", r"\1\2", s)
-        return s
+        s = _LETTER_THEN_DIGIT_RE.sub(r"\1 \2", s)
+        s = _DIGIT_THEN_LETTER_RE.sub(r"\1 \2", s)
+        return _DETACHED_ORDINAL_RE.sub(r"\1\2", s)
 
     def postprocess(self, s: str) -> str:
-        def combine_cents(m: re.Match) -> str:
+        def join_cents(match: re.Match) -> str:
             try:
-                return f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}"
+                return f"{match.group(1)}{match.group(2)}.{int(match.group(3)):02d}"
             except ValueError:
-                return m.string
+                return match.string
 
-        def extract_cents(m: re.Match) -> str:
+        def cent_symbol(match: re.Match) -> str:
             try:
-                return f"¢{int(m.group(1))}"
+                return f"¢{int(match.group(1))}"
             except ValueError:
-                return m.string
+                return match.string
 
         # "$2 and ¢7" -> "$2.07"
-        s = re.sub(r"([€£$])([0-9]+) (?:and )?¢([0-9]{1,2})\b", combine_cents, s)
-        s = re.sub(r"[€£$]0.([0-9]{1,2})\b", extract_cents, s)
+        s = _CURRENCY_AND_CENTS_RE.sub(join_cents, s)
+        s = _SUBDOLLAR_RE.sub(cent_symbol, s)
         # keep "one(s)" literal for readability
-        s = re.sub(r"\b1(s?)\b", r"one\1", s)
-        return s
+        return _LITERAL_ONE_RE.sub(r"one\1", s)
 
     def __call__(self, s: str) -> str:
         s = self.preprocess(s)
@@ -396,7 +440,7 @@ class EnglishNumberNormalizer:
 def _find_spelling_mapping() -> dict:
     """Locate the British->American spelling map (english.json asset,
     shared search order in utils/assets.py)."""
-    from ..utils.assets import find_asset
+    from ..utils.assets import cache_dir, find_asset
 
     path = find_asset(
         "english.json",
@@ -413,7 +457,7 @@ def _find_spelling_mapping() -> dict:
         url = "https://raw.githubusercontent.com/openai/whisper/main/whisper/normalizers/english.json"
         with urllib.request.urlopen(url, timeout=30) as src:
             data = json.load(src)
-        cache_path = candidates[-2]
+        cache_path = os.path.join(cache_dir(), "english.json")
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         with open(cache_path, "w") as f:
             json.dump(data, f)
@@ -438,85 +482,80 @@ class EnglishSpellingNormalizer:
         return " ".join(self.mapping.get(word, word) for word in s.split())
 
 
+# word-level contractions, replaced whole-word (\b-delimited on both sides)
+_CONTRACTION_WORDS = (
+    ("won't", "will not"), ("can't", "can not"), ("let's", "let us"),
+    ("ain't", "aint"), ("y'all", "you all"), ("wanna", "want to"),
+    ("gotta", "got to"), ("gonna", "going to"), ("i'ma", "i am going to"),
+    ("imma", "i am going to"), ("woulda", "would have"),
+    ("coulda", "could have"), ("shoulda", "should have"), ("ma'am", "madam"),
+)
+
+# abbreviated titles/honorifics; expansion keeps a trailing space so a
+# following period (already space-separated) cannot glue words together
+_TITLE_WORDS = (
+    ("mr", "mister"), ("mrs", "missus"), ("st", "saint"), ("dr", "doctor"),
+    ("prof", "professor"), ("capt", "captain"), ("gov", "governor"),
+    ("ald", "alderman"), ("gen", "general"), ("sen", "senator"),
+    ("rep", "representative"), ("pres", "president"), ("rev", "reverend"),
+    ("hon", "honorable"), ("asst", "assistant"), ("assoc", "associate"),
+    ("lt", "lieutenant"), ("col", "colonel"), ("jr", "junior"),
+    ("sr", "senior"), ("esq", "esquire"),
+)
+
+# perfect tenses with unambiguous participles: suffix-anchored on the right
+# only ("'d been" can start mid-word after its owner), replacement carries
+# the leading space the apostrophe displaced
+_PERFECT_TENSE_SUFFIXES = (
+    ("'d been", "had been"), ("'s been", "has been"), ("'d gone", "had gone"),
+    ("'s gone", "has gone"), ("'d done", "had done"), ("'s got", "has got"),
+)
+
+# general clitic contractions, right-anchored, replacement space-prefixed
+_CLITIC_SUFFIXES = (
+    ("n't", "not"), ("'re", "are"), ("'s", "is"), ("'d", "would"),
+    ("'ll", "will"), ("'t", "not"), ("'ve", "have"), ("'m", "am"),
+)
+
+
+def _build_replacers() -> dict:
+    rules = {}
+    for word, expansion in _CONTRACTION_WORDS:
+        rules[rf"\b{word}\b"] = expansion
+    for abbrev, title in _TITLE_WORDS:
+        rules[rf"\b{abbrev}\b"] = title + " "
+    for phrase, expansion in _PERFECT_TENSE_SUFFIXES:
+        rules[rf"{phrase}\b"] = " " + expansion
+    for clitic, expansion in _CLITIC_SUFFIXES:
+        rules[rf"{clitic}\b"] = " " + expansion
+    return rules
+
+
 class EnglishTextNormalizer:
     def __init__(self):
         self.ignore_patterns = r"\b(hmm|mm|mhm|mmm|uh|um)\b"
-        self.replacers = {
-            # common contractions
-            r"\bwon't\b": "will not",
-            r"\bcan't\b": "can not",
-            r"\blet's\b": "let us",
-            r"\bain't\b": "aint",
-            r"\by'all\b": "you all",
-            r"\bwanna\b": "want to",
-            r"\bgotta\b": "got to",
-            r"\bgonna\b": "going to",
-            r"\bi'ma\b": "i am going to",
-            r"\bimma\b": "i am going to",
-            r"\bwoulda\b": "would have",
-            r"\bcoulda\b": "could have",
-            r"\bshoulda\b": "should have",
-            r"\bma'am\b": "madam",
-            # titles / honorifics
-            r"\bmr\b": "mister ",
-            r"\bmrs\b": "missus ",
-            r"\bst\b": "saint ",
-            r"\bdr\b": "doctor ",
-            r"\bprof\b": "professor ",
-            r"\bcapt\b": "captain ",
-            r"\bgov\b": "governor ",
-            r"\bald\b": "alderman ",
-            r"\bgen\b": "general ",
-            r"\bsen\b": "senator ",
-            r"\brep\b": "representative ",
-            r"\bpres\b": "president ",
-            r"\brev\b": "reverend ",
-            r"\bhon\b": "honorable ",
-            r"\basst\b": "assistant ",
-            r"\bassoc\b": "associate ",
-            r"\blt\b": "lieutenant ",
-            r"\bcol\b": "colonel ",
-            r"\bjr\b": "junior ",
-            r"\bsr\b": "senior ",
-            r"\besq\b": "esquire ",
-            # perfect tenses with unambiguous participles
-            r"'d been\b": " had been",
-            r"'s been\b": " has been",
-            r"'d gone\b": " had gone",
-            r"'s gone\b": " has gone",
-            r"'d done\b": " had done",
-            r"'s got\b": " has got",
-            # general contractions
-            r"n't\b": " not",
-            r"'re\b": " are",
-            r"'s\b": " is",
-            r"'d\b": " would",
-            r"'ll\b": " will",
-            r"'t\b": " not",
-            r"'ve\b": " have",
-            r"'m\b": " am",
-        }
+        self.replacers = _build_replacers()
         self.standardize_numbers = EnglishNumberNormalizer()
         self.standardize_spellings = EnglishSpellingNormalizer()
 
     def __call__(self, s: str) -> str:
         s = s.lower()
-        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)  # drop bracketed annotations
-        s = re.sub(r"\(([^)]+?)\)", "", s)  # drop parenthesized asides
+        s = _BRACKETED_RE.sub("", s)  # drop bracketed annotations
+        s = _PARENTHESIZED_RE.sub("", s)  # drop parenthesized asides
         s = re.sub(self.ignore_patterns, "", s)
-        s = re.sub(r"\s+'", "'", s)  # re-attach detached apostrophes
+        s = _DETACHED_APOSTROPHE_RE.sub("'", s)  # re-attach detached apostrophes
 
         for pattern, replacement in self.replacers.items():
             s = re.sub(pattern, replacement, s)
 
-        s = re.sub(r"(\d),(\d)", r"\1\2", s)  # digit group commas
-        s = re.sub(r"\.([^0-9]|$)", r" \1", s)  # periods not in numbers
+        s = _DIGIT_GROUP_COMMA_RE.sub(r"\1\2", s)  # digit group commas
+        s = _NON_NUMERIC_PERIOD_RE.sub(r" \1", s)  # periods not in numbers
         s = remove_symbols_and_diacritics(s, keep=".%$¢€£")
 
         s = self.standardize_numbers(s)
         s = self.standardize_spellings(s)
 
         # strip numeric symbols that ended up unattached to numbers
-        s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
-        s = re.sub(r"([^0-9])%", r"\1 ", s)
-        return re.sub(r"\s+", " ", s)
+        s = _DANGLING_SYMBOL_RE.sub(r" \1", s)
+        s = _DANGLING_PERCENT_RE.sub(r"\1 ", s)
+        return _WHITESPACE_RE.sub(" ", s)
