@@ -71,6 +71,7 @@ def _beam_window_fn(
     max_candidates: int,
     compute_dtype_name: str,
     kv_quant: bool = False,
+    int8_encoder: bool = False,
 ):
     """The un-jitted whole-window beam function (encoder + cross-KV + beam
     loop). Callers jit it directly (_build_beam_window) or wrap it in
@@ -80,7 +81,7 @@ def _beam_window_fn(
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token):
-        feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype)
+        feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype, int8_linears=int8_encoder)
         cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
         return _beam_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,
@@ -102,13 +103,14 @@ def _build_beam_window(
     max_candidates: int,
     compute_dtype_name: str,
     kv_quant: bool = False,
+    int8_encoder: bool = False,
 ):
     """Like _build_beam_loop but takes the MEL: encoder + cross-KV + beam
     search as ONE XLA program — one dispatch per window instead of two."""
     return jax.jit(
         _beam_window_fn(
             dims, cfg, bucket, sample_len, beam_size, max_candidates,
-            compute_dtype_name, kv_quant,
+            compute_dtype_name, kv_quant, int8_encoder,
         )
     )
 
@@ -331,7 +333,7 @@ def dispatch_beam(task, feats, cross_kv, initial: np.ndarray, fused_mel=None):
     if fused_mel is not None:
         loop = _build_beam_window(
             task.model.dims, task.filter_cfg, bucket, sample_len, K, C,
-            task._dtype_name, task.kv_quant,
+            task._dtype_name, task.kv_quant, task.int8_encoder,
         )
         outs = loop(task.model.params, fused_mel, padded, *scalars)
     else:

@@ -54,6 +54,7 @@ def cli():
     parser.add_argument("--condition_on_previous_text", type=str2bool, default=True, help="provide the previous output as a prompt for the next window")
     parser.add_argument("--fp16", type=str2bool, default=True, help="use the fast half-precision compute dtype (bf16 on TPU)")
     parser.add_argument("--kv_int8", type=str2bool, default=False, help="store the attention K/V caches int8 (per-row scales): faster batched decoding, approximately identical output")
+    parser.add_argument("--int8_encoder", type=str2bool, default=False, help="run the encoder block projections as dynamically-quantized int8 matmuls (2x MXU throughput): faster encoding, approximately identical output")
     parser.add_argument("--fuse_encoder", type=str2bool, default=True, help="run encoder+decode as one fused XLA program (default); False compiles two smaller programs — for very large model/batch combinations that exceed a remote compiler's program size limit")
     parser.add_argument("--batch_mode", type=str2bool, default=False, help="decode every 30s window of every input file in device-wide batches (throughput mode; windows are decoded independently)")
     parser.add_argument("--dp", type=optional_int, default=None, help="with --batch_mode: shard window batches data-parallel over this many devices (a jax.sharding mesh); default: single device")

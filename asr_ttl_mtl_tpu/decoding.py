@@ -90,6 +90,12 @@ class DecodingOptions:
     # with the bf16 path is only approximate (per-row abs-max quantization)
     kv_quant: bool = False
 
+    # OPT-IN serving mode (no reference equivalent): run the encoder blocks'
+    # six projections as dynamically-quantized W8A8 int8 matmuls (2x MXU
+    # throughput; models/whisper.py linear_i8). Approximate like kv_quant —
+    # quality must be measured per deployment (scripts/tpu_int8_quality.py)
+    int8_encoder: bool = False
+
     # the reference's DecodingResult always carries the encoder output
     # (decoding.py:117-127) but nothing in its pipeline consumes it; the
     # device->host copy of (B, 1500, D) features costs more than the whole
@@ -270,7 +276,7 @@ def _build_greedy_loop(dims, cfg: FilterConfig, bucket: int, sample_len: int, co
     return jax.jit(run)
 
 
-def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str, kv_quant: bool = False):
+def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str, kv_quant: bool = False, int8_encoder: bool = False):
     """The un-jitted whole-window function: encoder + cross-KV + prefill +
     decode loop. Callers jit it directly (_build_greedy_window) or wrap it
     in shard_map for data-parallel serving (parallel/serving.py)."""
@@ -279,7 +285,7 @@ def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, com
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng_seed):
-        feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype)
+        feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype, int8_linears=int8_encoder)
         cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
         return _greedy_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,
@@ -292,12 +298,12 @@ def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, com
 
 
 @lru_cache(maxsize=64)
-def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str, kv_quant: bool = False):
+def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, compute_dtype_name: str, kv_quant: bool = False, int8_encoder: bool = False):
     """Like _build_greedy_loop but takes the MEL and runs the whole window
     as ONE XLA program — one dispatch per 30 s window instead of two (each
     dispatch costs real milliseconds of handle marshalling on a
     remote-attached chip)."""
-    return jax.jit(_greedy_window_fn(dims, cfg, bucket, sample_len, compute_dtype_name, kv_quant))
+    return jax.jit(_greedy_window_fn(dims, cfg, bucket, sample_len, compute_dtype_name, kv_quant, int8_encoder))
 
 
 def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
@@ -446,13 +452,13 @@ def _clear_program_caches() -> None:
 
 
 @lru_cache(maxsize=32)
-def _build_encoder(dims, compute_dtype_name: str, kv_quant: bool = False):
+def _build_encoder(dims, compute_dtype_name: str, kv_quant: bool = False, int8_encoder: bool = False):
     from .models import whisper as W
 
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     def run(params, mel):
-        feats = W.encoder_apply(params, dims, mel, compute_dtype)
+        feats = W.encoder_apply(params, dims, mel, compute_dtype, int8_linears=int8_encoder)
         cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
         return feats, cross_kv
 
@@ -629,6 +635,7 @@ class DecodingTask:
         )
         self._dtype_name = jnp.dtype(self.compute_dtype).name
         self.kv_quant = bool(options.kv_quant)
+        self.int8_encoder = bool(options.int8_encoder)
 
     # --- option/initial-token plumbing (reference decoding.py:572-642) -----
 
@@ -730,9 +737,9 @@ class DecodingTask:
                 self.model.params, feats
             )
             return feats, cross_kv
-        return _build_encoder(self.model.dims, self._dtype_name, self.kv_quant)(
-            self.model.params, mel
-        )
+        return _build_encoder(
+            self.model.dims, self._dtype_name, self.kv_quant, self.int8_encoder
+        )(self.model.params, mel)
 
     def run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
         """Decode one batch of 30 s windows; on a Pallas kernel
@@ -952,7 +959,7 @@ class DecodingTask:
         if fused_mel is not None:
             loop = _build_greedy_window(
                 self.model.dims, self.filter_cfg, bucket, sample_len,
-                self._dtype_name, self.kv_quant,
+                self._dtype_name, self.kv_quant, self.int8_encoder,
             )
             buf, sum_lp, ns_probs, n_sampled = loop(
                 self.model.params, fused_mel, padded, *scalars

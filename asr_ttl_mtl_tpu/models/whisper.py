@@ -64,6 +64,38 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def _quant_rowwise_sym(x32: jnp.ndarray):
+    """Symmetric int8 quantization with one scale per last-dim row."""
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quant_colwise_sym(w32: jnp.ndarray):
+    """Symmetric int8 quantization with one scale per output column."""
+    absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def linear_i8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 dynamically-quantized linear: per-token activation scales x
+    per-column weight scales, int8xint8->int32 matmul (2x MXU throughput on
+    v5e vs bf16). Serving-only opt-in (`DecodingOptions.int8_encoder`) — the
+    ~0.5% row-quantization error is amplified nowhere (encoder activations
+    are LayerNorm-conditioned), but parity with the bf16 path is approximate
+    by construction."""
+    xq, sx = _quant_rowwise_sym(x.astype(_F32))
+    wq, sw = _quant_colwise_sym(p["w"].astype(_F32))
+    acc = jnp.matmul(xq, wq, preferred_element_type=jnp.int32)
+    out = acc.astype(_F32) * (sx * sw)
+    if "b" in p:
+        out = out + p["b"].astype(_F32)
+    return out.astype(x.dtype)
+
+
 def conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     """1-D conv over (B, C, T); weights in torch (O, I, K) layout.
 
@@ -221,8 +253,15 @@ def encoder_apply(
     dims: ModelDimensions,
     mel: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.float32,
+    *,
+    int8_linears: bool = False,
 ) -> jnp.ndarray:
-    """mel (B, n_mels, 3000) -> audio features (B, n_audio_ctx, D)."""
+    """mel (B, n_mels, 3000) -> audio features (B, n_audio_ctx, D).
+
+    int8_linears: run each block's six projections (QKV/out/fc1/fc2 — ~2/3 of
+    encoder FLOPs) as dynamically-quantized W8A8 matmuls (`linear_i8`);
+    attention itself and the conv frontend stay in compute_dtype."""
+    lin = linear_i8 if int8_linears else linear
     p = params["encoder"]
     x = mel.astype(compute_dtype)
     x = _gelu(conv1d(p["conv1"], x, stride=1))
@@ -247,17 +286,21 @@ def encoder_apply(
         # self-attention
         res = x
         h = layer_norm(block["attn_ln"], x)
-        q, k, v = _mha_project_qkv(block["attn"], h)
+        q, k, v = (
+            lin(block["attn"]["query"], h),
+            lin(block["attn"]["key"], h),
+            lin(block["attn"]["value"], h),
+        )
         att, _ = qkv_attention(
             q, k, v, dims.n_audio_head,
             kv_valid_len=t_valid if t_run != t_valid else None,
         )
-        x = res + linear(block["attn"]["out"], att)
+        x = res + lin(block["attn"]["out"], att)
         # mlp
         res = x
         h = layer_norm(block["mlp_ln"], x)
-        h = _gelu(linear(block["mlp"]["fc1"], h))
-        x = res + linear(block["mlp"]["fc2"], h)
+        h = _gelu(lin(block["mlp"]["fc1"], h))
+        x = res + lin(block["mlp"]["fc2"], h)
 
     x = x[:, :t_valid] if t_run != t_valid else x
     return layer_norm(p["ln_post"], x)

@@ -27,12 +27,12 @@ from .mesh import create_mesh
 
 
 @lru_cache(maxsize=32)
-def _build_dp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant):
+def _build_dp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant, int8_encoder=False):
     """jit(shard_map(beam window)) cached per (mesh, program shape) — a fresh
     wrapper per call would re-trace the whole program every chunk."""
     from ..beam import _beam_window_fn
 
-    fn = _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant)
+    fn = _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant, int8_encoder)
 
     def per_shard_beam(params, mel, toks, valid, sot, nosp):
         ft, fs, fc, lb, lsp, ns, n = fn(params, mel, toks, valid, sot, nosp)
@@ -51,10 +51,10 @@ def _build_dp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_qua
 
 
 @lru_cache(maxsize=32)
-def _build_dp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
+def _build_dp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant, int8_encoder=False):
     from ..decoding import _greedy_window_fn
 
-    fn = _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant)
+    fn = _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant, int8_encoder)
 
     def per_shard(params, mel, toks, valid, sot, nosp, temp, seed):
         buf, sum_lp, ns, n = fn(params, mel, toks, valid, sot, nosp, temp, seed)
@@ -73,7 +73,7 @@ def _build_dp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
 
 
 @lru_cache(maxsize=16)
-def _build_tp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
+def _build_tp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant, int8_encoder=False):
     """pjit(greedy window) for a dp x tp mesh: batch sharded over dp, the
     Megatron tp weight shardings (mesh.param_shardings) propagated by GSPMD
     through the fused encoder+prefill+decode program — attention heads and
@@ -85,20 +85,20 @@ def _build_tp_greedy(mesh, dims, cfg, bucket, sample_len, dtype_name, kv_quant):
     from jax.sharding import NamedSharding
 
     fn = _kernels_off_during_trace(
-        _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant)
+        _greedy_window_fn(dims, cfg, bucket, sample_len, dtype_name, kv_quant, int8_encoder)
     )
     dp_s = NamedSharding(mesh, P("dp"))
     return jax.jit(fn, out_shardings=(dp_s, dp_s, dp_s, None))
 
 
 @lru_cache(maxsize=16)
-def _build_tp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant):
+def _build_tp_beam(mesh, dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant, int8_encoder=False):
     from ..beam import _beam_window_fn
 
     from jax.sharding import NamedSharding
 
     fn = _kernels_off_during_trace(
-        _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant)
+        _beam_window_fn(dims, cfg, bucket, sample_len, K, C, dtype_name, kv_quant, int8_encoder)
     )
     dp_s = NamedSharding(mesh, P("dp"))
     return jax.jit(fn, out_shardings=(dp_s,) * 6 + (None,))
@@ -239,7 +239,7 @@ def dispatch_batched_dp(
         build = _build_tp_beam if use_pjit else _build_dp_beam
         sharded = build(
             mesh, model.dims, task.filter_cfg, bucket, sample_len, K, C,
-            task._dtype_name, task.kv_quant,
+            task._dtype_name, task.kv_quant, task.int8_encoder,
         )
         outs = sharded(
                 params,
@@ -254,7 +254,7 @@ def dispatch_batched_dp(
         build = _build_tp_greedy if use_pjit else _build_dp_greedy
         sharded = build(
             mesh, model.dims, task.filter_cfg, bucket, sample_len,
-            task._dtype_name, task.kv_quant,
+            task._dtype_name, task.kv_quant, task.int8_encoder,
         )
 
         arrays = sharded(

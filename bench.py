@@ -90,6 +90,9 @@ def main():
         suppress_tokens=f"-1,{tokenizer_eot}",
         fp16=True,
         kv_quant=on_tpu,  # int8 KV on the chip (quality table in PERF.md)
+        # experimental A/B knob (not the headline default until the quality
+        # table covers it): W8A8 encoder projections
+        int8_encoder=bool(int(os.environ.get("INT8_ENC", "0"))),
     )
     task = DecodingTask(model, options)
 

@@ -71,6 +71,7 @@ def main():
         language="en", without_timestamps=True, sample_len=64,
         suppress_tokens="-1,50257", fp16=on_tpu,
         kv_quant=bool(int(os.environ.get("KV_INT8", "1" if on_tpu else "0"))),
+        int8_encoder=bool(int(os.environ.get("INT8_ENC", "0"))),
     )
     task = DecodingTask(model, options)
     rng = np.random.RandomState(0)
@@ -133,7 +134,7 @@ def main():
               "raw dump: /tmp/headline_hlo_stats.out")
         return
     scale = 1e3  # us -> ms
-    print(f"batch={batch} kv_int8={options.kv_quant} "
+    print(f"batch={batch} kv_int8={options.kv_quant} int8_enc={options.int8_encoder} "
           f"device total: {total/scale:.1f} ms")
     print(f"decode-loop (while body): {in_loop/scale:.1f} ms ({100*in_loop/total:.1f}%)")
     print(f"outside loop (encoder/prefill/logits): {outside/scale:.1f} ms ({100*outside/total:.1f}%)")

@@ -100,10 +100,12 @@ def trained_model(steps: int, tmpdir: str):
     return trainer.model
 
 
-def agreement(model, clips, *, beam_size=None, sample_len=48):
+def agreement(model, clips, *, beam_size=None, sample_len=48, variant=None):
+    """Token/text agreement between the exact bf16 path and a quantized
+    serving variant (DecodingOptions overrides, default int8 KV)."""
     import jax.numpy as jnp
 
-    from asr_ttl_mtl_tpu.audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from asr_ttl_mtl_tpu.audio import log_mel_spectrogram, pad_or_trim
     from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
 
     mels = np.stack([
@@ -113,20 +115,27 @@ def agreement(model, clips, *, beam_size=None, sample_len=48):
     ]).astype(np.float32)
 
     results = {}
-    for kv_quant in (False, True):
+    for name, overrides in (("base", {}), ("variant", variant or {"kv_quant": True})):
         opts = DecodingOptions(
             language="en", without_timestamps=True, sample_len=sample_len,
-            beam_size=beam_size, kv_quant=kv_quant, fp16=True,
+            beam_size=beam_size, fp16=True, **overrides,
         )
         task = DecodingTask(model, opts)
-        results[kv_quant] = task.run(jnp.asarray(mels))
+        results[name] = task.run(jnp.asarray(mels))
 
     n_same = 0
     deltas = []
-    for a, b in zip(results[False], results[True]):
+    for a, b in zip(results["base"], results["variant"]):
         n_same += a.tokens == b.tokens
         deltas.append(normalized_delta(a.text, b.text))
     return n_same, len(clips), float(np.mean(deltas))
+
+
+VARIANTS = {
+    "kv-int8": {"kv_quant": True},
+    "enc-int8": {"int8_encoder": True},
+    "kv+enc-int8": {"kv_quant": True, "int8_encoder": True},
+}
 
 
 def main():
@@ -142,31 +151,35 @@ def main():
 
     clips = make_clips(args.clips)
 
-    print("== int8-KV vs bf16-KV quality ==")
+    print("== quantized serving variants vs the exact bf16 path ==")
     rows = []
     if not args.skip_trained:
         with tempfile.TemporaryDirectory() as tmp:
             print("training structured-weight model...")
             model = trained_model(args.steps, tmp)
-            for beam in (None, 5):
-                same, total, delta = agreement(model, clips, beam_size=beam)
-                rows.append(("trained-2L-384d", "greedy" if beam is None else f"beam={beam}",
-                             same, total, delta))
-                print(f"trained  {'greedy' if beam is None else 'beam=5'}: "
-                      f"{same}/{total} identical token seqs, text delta {delta:.4f}")
+            for vname, overrides in VARIANTS.items():
+                for beam in (None, 5):
+                    same, total, delta = agreement(
+                        model, clips, beam_size=beam, variant=overrides)
+                    mode = "greedy" if beam is None else f"beam={beam}"
+                    rows.append(("trained-2L-384d", vname, mode, same, total, delta))
+                    print(f"trained  {vname:12s} {mode}: {same}/{total} identical "
+                          f"token seqs, text delta {delta:.4f}")
 
     model = from_random("tiny", seed=0)
-    for beam in (None, 5):
-        same, total, delta = agreement(model, clips, beam_size=beam)
-        rows.append(("random-tiny (worst case)", "greedy" if beam is None else f"beam={beam}",
-                     same, total, delta))
-        print(f"random   {'greedy' if beam is None else 'beam=5'}: "
-              f"{same}/{total} identical token seqs, text delta {delta:.4f}")
+    for vname, overrides in VARIANTS.items():
+        for beam in (None, 5):
+            same, total, delta = agreement(
+                model, clips, beam_size=beam, variant=overrides)
+            mode = "greedy" if beam is None else f"beam={beam}"
+            rows.append(("random-tiny (worst case)", vname, mode, same, total, delta))
+            print(f"random   {vname:12s} {mode}: {same}/{total} identical "
+                  f"token seqs, text delta {delta:.4f}")
 
-    print("\n| weights | mode | identical sequences | normalized text delta |")
-    print("|---|---|---|---|")
-    for w, m, s, t, d in rows:
-        print(f"| {w} | {m} | {s}/{t} | {d:.4f} |")
+    print("\n| weights | variant | mode | identical sequences | normalized text delta |")
+    print("|---|---|---|---|---|")
+    for w, v, m, s, t, d in rows:
+        print(f"| {w} | {v} | {m} | {s}/{t} | {d:.4f} |")
 
 
 if __name__ == "__main__":
