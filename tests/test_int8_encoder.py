@@ -141,3 +141,20 @@ class TestMeshThreading:
         )
         res = decode_batched_dp(model, jnp.asarray(_mel(4)), opts, mesh=mesh)
         assert len(res) == 4
+
+    def test_tp_greedy_accepts_flag(self):
+        import jax
+
+        from asr_ttl_mtl_tpu.parallel.mesh import create_mesh
+        from asr_ttl_mtl_tpu.parallel.serving import decode_batched_dp
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the multi-device CPU mesh")
+        model = from_random(DIMS, seed=8)
+        mesh = create_mesh((1, 2))  # tp=2 -> pjit builder path
+        opts = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=8, fp16=False,
+            int8_encoder=True,
+        )
+        res = decode_batched_dp(model, jnp.asarray(_mel(2)), opts, mesh=mesh)
+        assert len(res) == 2
