@@ -124,6 +124,18 @@ def main():
     fdiff = np.abs(np.asarray(feats_fl, np.float32) - np.asarray(feats_nf, np.float32)).max()
     print(f"encoder flash-vs-einsum max feature diff: {fdiff:.3f} (bf16)", flush=True)
 
+    # --- 3b. int8 (W8A8) encoder projections: timing + closeness ---
+    enc_i8 = jax.jit(
+        lambda m: W.encoder_apply(params, dims, m, jnp.bfloat16, int8_linears=True)
+    )
+    timeit("encoder B=32 int8 linears", lambda: enc_i8(mels))
+    feats_i8 = jax.block_until_ready(enc_i8(mels))
+    a = np.asarray(feats_i8, np.float32).ravel()
+    b = np.asarray(feats_fl, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    rel = float(np.abs(a - b).mean() / (np.abs(b).mean() + 1e-9))
+    print(f"encoder int8-vs-flash: cosine {cos:.5f}, mean rel err {rel:.4f}", flush=True)
+
     # --- 4. decode loop breakdown ---
     from asr_ttl_mtl_tpu.models.whisper import decoder_apply, init_kv_cache, precompute_cross_kv
 
