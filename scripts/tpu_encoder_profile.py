@@ -1,7 +1,8 @@
-"""Profile the audio encoder (B=32, base, bf16) and dump top HLO ops by
+"""Profile the audio encoder (base, bf16) and dump top HLO ops by
 self time (dev tool).
 
 Usage: python scripts/tpu_encoder_profile.py
+       BATCH=192 KV_INT8=1 python scripts/tpu_encoder_profile.py  # headline shape
 """
 
 import glob
@@ -29,23 +30,26 @@ def main():
     from asr_ttl_mtl_tpu.models import from_random
     from asr_ttl_mtl_tpu.models.whisper import encoder_apply, precompute_cross_kv
 
+    batch = int(os.environ.get("BATCH", "32"))
+    kv_int8 = os.environ.get("KV_INT8", "0") == "1"
     model = from_random("base", seed=0, compute_dtype=jnp.bfloat16)
     params, dims = model.params, model.dims
     rng = np.random.RandomState(0)
     mels = jnp.asarray(
-        rng.randn(32, dims.n_mels, 3000).astype(np.float32) * 0.3
+        rng.randn(batch, dims.n_mels, 3000).astype(np.float32) * 0.3
     ).astype(jnp.bfloat16)
 
     @jax.jit
     def enc(p, m):
         feats = encoder_apply(p, dims, m, jnp.bfloat16)
-        return precompute_cross_kv(p, dims, feats)
+        return precompute_cross_kv(p, dims, feats, quantize=kv_int8)
 
     jax.block_until_ready(enc(params, mels))
     t0 = time.perf_counter()
     for _ in range(5):
         jax.block_until_ready(enc(params, mels))
-    print(f"encoder+crossKV B=32: {(time.perf_counter()-t0)/5*1e3:.1f} ms", flush=True)
+    print(f"encoder+crossKV B={batch} kv_int8={kv_int8}: "
+          f"{(time.perf_counter()-t0)/5*1e3:.1f} ms", flush=True)
 
     os.system(f"rm -rf {LOGDIR}")
     jax.profiler.start_trace(LOGDIR)
@@ -65,7 +69,14 @@ def main():
     tot = sum(float(r[i["total_self_time"]] or 0) for r in rows)
     rows.sort(key=lambda r: -float(r[i["total_self_time"]] or 0))
     print(f"total device self time: {tot/1e3:.1f} ms over {len(rows)} ops")
-    for r in rows[:20]:
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(str(r[i["category"]]), [0.0, 0])
+        by_cat[str(r[i["category"]])][0] += float(r[i["total_self_time"]] or 0)
+        by_cat[str(r[i["category"]])][1] += 1
+    for cat, (t, n) in sorted(by_cat.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {t/1e3:8.2f} ms {100*t/tot:5.1f}%  n={n:<4} {cat}")
+    for r in rows[: int(os.environ.get("TOPN", "20"))]:
         st = float(r[i["total_self_time"]])
         print(
             f'{st/1e3:7.2f}ms {100*st/tot:5.1f}% occ={r[i["occurrences"]]:>4} '
