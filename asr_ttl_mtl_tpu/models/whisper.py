@@ -201,6 +201,23 @@ def qkv_attention(
     """
     d_head = q.shape[-1] // n_head
     scale = d_head**-0.25
+
+    # Natural-layout multi-head kernel: non-causal attention over (B, T, D)
+    # projections skips the four per-call head-split/merge HBM relayouts
+    # (dh=64 is half a lane tile, so XLA must physically copy) — measured
+    # 55.6 -> 46.0 ms per encoder self-attention at the B=192 base headline.
+    if (
+        not causal
+        and _flash_eligible(q.shape[1], return_qk, q_offset, mask is None)
+    ):
+        from ..ops.flash_attention import flash_attention_mh_vjp, mh_flash_eligible
+
+        if mh_flash_eligible(q.shape[1], k.shape[1], q.shape[-1], n_head, False):
+            out = flash_attention_mh_vjp(
+                q, k, v, n_head, kv_valid_len, float(d_head**-0.5)
+            )
+            return out, None
+
     q = _split_heads(q, n_head)
     k = _split_heads(k, n_head)
     v = _split_heads(v, n_head)

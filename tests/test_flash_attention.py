@@ -92,6 +92,103 @@ class TestFlashAttention:
         run_case(1, 1500, 1500, 64, seed=3, block_q=256, block_k=512)
 
 
+class TestFlashMH:
+    """Natural-layout multi-head kernel (flash_attention_mh): per-head lane
+    slices of (B, T, D) inputs must match head-split flash / einsum exactly."""
+
+    def _inputs(self, b=2, tq=256, tk=256, h=4, dh=64, seed=7, dtype=np.float32):
+        rng = np.random.RandomState(seed)
+        d = h * dh
+        q = jnp.asarray(rng.randn(b, tq, d).astype(dtype) * 0.3)
+        k = jnp.asarray(rng.randn(b, tk, d).astype(dtype) * 0.3)
+        v = jnp.asarray(rng.randn(b, tk, d).astype(dtype))
+        return q, k, v
+
+    @staticmethod
+    def _reference_mh(q, k, v, n_head, kv_valid_len=None, scale=1.0):
+        b, tq, d = q.shape
+        tk = k.shape[1]
+        dh = d // n_head
+        split = lambda x, t: x.reshape(b, t, n_head, dh).transpose(0, 2, 1, 3).reshape(
+            b * n_head, t, dh
+        )
+        out = reference_attention(
+            split(q * scale**0.5, tq), split(k * scale**0.5, tk), split(v, tk),
+            kv_valid_len=kv_valid_len,
+        )
+        return out.reshape(b, n_head, tq, dh).transpose(0, 2, 1, 3).reshape(b, tq, d)
+
+    def test_matches_headsplit_reference(self):
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_mh
+
+        q, k, v = self._inputs()
+        got = flash_attention_mh(q, k, v, n_head=4, scale=0.125, interpret=True)
+        want = self._reference_mh(q, k, v, 4, scale=0.125)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    def test_kv_valid_len_and_unaligned_tq(self):
+        # the encoder case scaled down: unaligned Tq/Tk, masked key tail
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_mh
+
+        q, k, v = self._inputs(tq=300, tk=300, seed=8)
+        got = flash_attention_mh(
+            q, k, v, n_head=4, kv_valid_len=277, scale=0.125, interpret=True
+        )
+        want = self._reference_mh(q, k, v, 4, kv_valid_len=277, scale=0.125)
+        assert got.shape == q.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    def test_bf16(self):
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_mh
+
+        q, k, v = self._inputs(seed=9)
+        got = flash_attention_mh(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            n_head=4, scale=0.125, interpret=True,
+        )
+        want = self._reference_mh(q, k, v, 4, scale=0.125)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=3e-2, rtol=3e-2
+        )
+
+    def test_eligibility_gate(self):
+        from asr_ttl_mtl_tpu.ops.flash_attention import mh_flash_eligible
+
+        assert mh_flash_eligible(1536, 1536, 512, 8, causal=False)   # base encoder
+        assert not mh_flash_eligible(1536, 1536, 512, 8, causal=True)
+        assert not mh_flash_eligible(1536, 1536, 1280, 20, causal=False)  # large: D > cap
+        assert not mh_flash_eligible(1536, 4096, 512, 8, causal=False)    # keys too long
+        assert not mh_flash_eligible(4, 1536, 512, 8, causal=False)       # tiny Tq
+
+    def test_vjp_grads_match_einsum_autodiff(self):
+        """flash_attention_mh_vjp primal = mh kernel, grads = head-split
+        flash backward; both must match plain einsum autodiff."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_mh_vjp
+
+        q, k, v = self._inputs(b=1, tq=64, tk=96, h=2, dh=64, seed=10)
+
+        def ref_loss(q, k, v):
+            out = self._reference_mh(q, k, v, 2, scale=0.125)
+            return jnp.sum(out * jnp.cos(out))
+
+        def mh_loss(q, k, v):
+            out = flash_attention_mh_vjp(q, k, v, 2, None, 0.125)
+            return jnp.sum(out * jnp.cos(out))
+
+        with pltpu.force_tpu_interpret_mode():
+            f_val, f_grads = jax.value_and_grad(mh_loss, argnums=(0, 1, 2))(q, k, v)
+        r_val, r_grads = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(f_val), float(r_val), rtol=1e-5)
+        for fg, rg, name in zip(f_grads, r_grads, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(fg), np.asarray(rg), atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+
 class TestFlashVJP:
     """flash_attention_vjp: Pallas forward + hand-written backward must match
     einsum autodiff (this is the path TPU training takes)."""
