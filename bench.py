@@ -90,9 +90,10 @@ def main():
         suppress_tokens=f"-1,{tokenizer_eot}",
         fp16=True,
         kv_quant=on_tpu,  # int8 KV on the chip (quality table in PERF.md)
-        # experimental A/B knob (not the headline default until the quality
-        # table covers it): W8A8 encoder projections
-        int8_encoder=bool(int(os.environ.get("INT8_ENC", "0"))),
+        # W8A8 encoder projections: headline default on-chip since the
+        # quality table covers enc-int8/kv+enc (32/32 on trained weights,
+        # PERF.md); INT8_ENC=0 A/Bs the bf16 encoder.
+        int8_encoder=on_tpu and bool(int(os.environ.get("INT8_ENC", "1"))),
     )
     task = DecodingTask(model, options)
 
