@@ -82,12 +82,16 @@ def _beam_window_fn(
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token):
         feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype, int8_linears=int8_encoder)
-        cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
+        cross_f = W.precompute_cross_kv(params, dims, feats)
+        # prefill reads the pre-quantization float K/V; only the beam loop
+        # reads the int8 store (see whisper.quantize_cross_kv docstring)
+        cross_kv = W.quantize_cross_kv(cross_f) if kv_quant else cross_f
         return _beam_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,
             no_speech_token, dims=dims, cfg=cfg, bucket=bucket,
             sample_len=sample_len, beam_size=beam_size,
             max_candidates=max_candidates, compute_dtype=compute_dtype,
+            cross_kv_prefill=cross_f if kv_quant else None,
         )
 
     return run
@@ -118,7 +122,7 @@ def _build_beam_window(
 def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
                   no_speech_token, *, dims, cfg: FilterConfig, bucket: int,
                   sample_len: int, beam_size: int, max_candidates: int,
-                  compute_dtype):
+                  compute_dtype, cross_kv_prefill=None):
     from .models import whisper as W
 
     K, C = beam_size, max_candidates
@@ -138,8 +142,9 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
 
     prefill_logits, cache, _ = W.decoder_apply(
-        params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
-        pos_offset=0, compute_dtype=compute_dtype,
+        params, dims, initial_tokens,
+        cross_kv=cross_kv_prefill if cross_kv_prefill is not None else cross_kv,
+        kv_cache=cache, pos_offset=0, compute_dtype=compute_dtype,
     )
     cache = jax.tree.map(lambda x: jnp.repeat(x, K, axis=1), cache)
     probs_at_sot = jax.nn.softmax(

@@ -286,12 +286,17 @@ def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, com
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng_seed):
         feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype, int8_linears=int8_encoder)
-        cross_kv = W.precompute_cross_kv(params, dims, feats, quantize=kv_quant)
+        cross_f = W.precompute_cross_kv(params, dims, feats)
+        # the decode loop reads the int8 store; the prefill reads the
+        # PRE-quantization float K/V it already produced (one pass, no
+        # dequantized f32 copy in HBM — quantize_cross_kv docstring)
+        cross_kv = W.quantize_cross_kv(cross_f) if kv_quant else cross_f
         return _greedy_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,
             no_speech_token, temperature, rng_seed,
             dims=dims, cfg=cfg, bucket=bucket, sample_len=sample_len,
             compute_dtype=compute_dtype,
+            cross_kv_prefill=cross_f if kv_quant else None,
         )
 
     return run
@@ -309,7 +314,7 @@ def _build_greedy_window(dims, cfg: FilterConfig, bucket: int, sample_len: int, 
 def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
                     no_speech_token, temperature, rng_seed, *,
                     dims, cfg: FilterConfig, bucket: int, sample_len: int,
-                    compute_dtype):
+                    compute_dtype, cross_kv_prefill=None):
     from .models import whisper as W
 
     buf_len = bucket + sample_len
@@ -326,8 +331,9 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         cache = W.init_kv_cache(dims, B, compute_dtype, ctx=cache_len)
 
     prefill_logits, cache, _ = W.decoder_apply(
-        params, dims, initial_tokens, cross_kv=cross_kv, kv_cache=cache,
-        pos_offset=0, compute_dtype=compute_dtype,
+        params, dims, initial_tokens,
+        cross_kv=cross_kv_prefill if cross_kv_prefill is not None else cross_kv,
+        kv_cache=cache, pos_offset=0, compute_dtype=compute_dtype,
     )  # (B, bucket, V) fp32
 
     # no-speech probability from the SOT position of the first forward

@@ -369,10 +369,12 @@ def _quant_rows(x: jnp.ndarray):
     """(B, T, D) float -> ((B, T, D) int8, (B, T) fp32) per-row abs-max
     quantization WITHOUT the T padding of ops.decode_attention.quantize_kv_rows
     (cache writes land inside an already-aligned buffer)."""
-    xf = x.astype(_F32)
-    m = jnp.max(jnp.abs(xf), axis=-1)
+    # reduce |x| in the source dtype, convert only the (B, T) result — the
+    # f32 copy of x then feeds only the round and fuses into one pass
+    # (see ops/decode_attention.quantize_kv_rows)
+    m = jnp.max(jnp.abs(x), axis=-1).astype(_F32)
     scale = jnp.maximum(m, 1e-20) / 127.0
-    return jnp.round(xf / scale[..., None]).astype(jnp.int8), scale
+    return jnp.round(x.astype(_F32) / scale[..., None]).astype(jnp.int8), scale
 
 
 def precompute_cross_kv(
@@ -394,18 +396,32 @@ def precompute_cross_kv(
         vs.append(linear(block["cross_attn"]["value"], audio_features))
     k, v = jnp.stack(ks), jnp.stack(vs)  # (L, B, Ta, D)
     if quantize:
-        from ..ops.decode_attention import quantize_kv_rows
-
-        ki, ksc = quantize_kv_rows(k)
-        vi, vsc = quantize_kv_rows(v)
-        return {"k": ki, "k_scale": ksc, "v": vi, "v_scale": vsc}
+        return quantize_cross_kv({"k": k, "v": v})
     return {"k": k, "v": v}
 
 
+def quantize_cross_kv(cross_kv: Params) -> Params:
+    """Float cross-KV dict -> int8 dict with per-(layer, batch, position)
+    fp32 row scales (T padded to the int8 tile; see quantize_kv_rows).
+
+    Kept separate from precompute_cross_kv so fused serving programs can
+    hand the PRE-quantization float K/V to the prefill (which reads each
+    value once) and the int8 store to the decode loop — dequantizing the
+    whole KV back to f32 for the prefill cost 14 ms of convert fusions plus
+    2.4 GB of HBM writes per window at B=192 base (headline HLO profile)."""
+    from ..ops.decode_attention import quantize_kv_rows
+
+    ki, ksc = quantize_kv_rows(cross_kv["k"])
+    vi, vsc = quantize_kv_rows(cross_kv["v"])
+    return {"k": ki, "k_scale": ksc, "v": vi, "v_scale": vsc}
+
+
 def _dequant_cross_layer(cross_kv: Params, li: int, dtype, valid_len: int) -> tuple:
-    """Per-layer K/V in float for the einsum/prefill paths — same rounded
-    values the int8 kernel consumes, so prefill and steps agree. The int8
-    store pads T to a multiple of 128 (quantize_kv_rows); slice it back."""
+    """Per-layer K/V in float for the einsum fallback and split-program
+    prefill paths — same rounded values the int8 kernel consumes. The fused
+    serving programs skip this (their prefill reads the pre-quantization
+    float K/V directly — see quantize_cross_kv). The int8 store pads T to a
+    multiple of 128 (quantize_kv_rows); slice it back."""
     if "k_scale" in cross_kv:
         k = (cross_kv["k"][li].astype(_F32) * cross_kv["k_scale"][li][..., None]).astype(dtype)
         v = (cross_kv["v"][li].astype(_F32) * cross_kv["v_scale"][li][..., None]).astype(dtype)
