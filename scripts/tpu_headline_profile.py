@@ -71,7 +71,8 @@ def main():
         language="en", without_timestamps=True, sample_len=64,
         suppress_tokens="-1,50257", fp16=on_tpu,
         kv_quant=bool(int(os.environ.get("KV_INT8", "1" if on_tpu else "0"))),
-        int8_encoder=bool(int(os.environ.get("INT8_ENC", "0"))),
+        # match bench.py's headline default (INT8_ENC=0 A/Bs the bf16 encoder)
+        int8_encoder=bool(int(os.environ.get("INT8_ENC", "1" if on_tpu else "0"))),
     )
     task = DecodingTask(model, options)
     rng = np.random.RandomState(0)
