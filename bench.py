@@ -78,7 +78,7 @@ def main():
     # B=192 amortizes the fixed per-program launch overhead best: measured
     # 8669 (B=64) / 9306 (96) / 9393 (128) / 9768 (192) / 9730 (256)
     # audio-s/s on a v5e — the curve peaks at 192 while still fitting HBM
-    BATCH = 192 if on_tpu else 4
+    BATCH = int(os.environ.get("BATCH", "192" if on_tpu else "4"))
     DECODE_TOKENS = 64
     CHUNK_SECONDS = 30.0
 
