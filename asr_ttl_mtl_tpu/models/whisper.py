@@ -102,6 +102,12 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     No `preferred_element_type`: its conv transpose rule rejects bf16
     inputs with an f32 cotangent under AD, and TPU convs accumulate in
     fp32 on the MXU regardless of the bf16 io dtype.
+
+    Measured dead end (round 2): reformulating the k=3 stem as a shifted
+    tap-stack GEMM in (B, T, C) layout ran 3.5x SLOWER on chip (14.4 vs
+    4.0 ms device time at B=192 base — the tap slices/pads materialize in
+    HBM, and XLA pattern-matches the stack-matmul back into a convolution
+    anyway). XLA's native conv lowering is already at the stem's roofline.
     """
     out = jax.lax.conv_general_dilated(
         x,
