@@ -207,10 +207,14 @@ def _apply_filters(
             logits = jnp.where(at_begin & (vocab_ids > last_allowed), _NEG, logits)
 
         # if total timestamp probability beats every text token, sample a
-        # timestamp (decoding.py:497-505)
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        ts_logprob = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
-        max_text = jnp.max(logprobs[:, :ts_begin], axis=-1)
+        # timestamp (decoding.py:497-505). The reference compares
+        # log_softmax values; the softmax shift (-logsumexp over the full
+        # vocab) is common to both sides, so the comparison is done on raw
+        # logits — two partial reductions instead of materializing a full
+        # (B, V) fp32 log_softmax in HBM every step (was ~0.25 ms/step of
+        # pure HBM traffic at B=192 base).
+        ts_logprob = jax.nn.logsumexp(logits[:, ts_begin:], axis=-1)
+        max_text = jnp.max(logits[:, :ts_begin], axis=-1)
         force_ts = (ts_logprob > max_text)[:, None]
         logits = jnp.where(force_ts & (vocab_ids < ts_begin), _NEG, logits)
 
@@ -377,7 +381,6 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
 
     def body(s):
         logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
 
         rng, sub = jax.random.split(s["rng"])
         # lax.cond so the t=0 ladder rung doesn't pay for gumbel noise
@@ -391,7 +394,14 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
             ).astype(jnp.int32),
         )
 
-        cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        # chosen-token logprob without materializing log_softmax: the
+        # reference's logprobs[next] (GreedyDecoder.update,
+        # decoding.py:283-285) equals logits[next] - logsumexp(logits).
+        # Reductions + a (B,) gather replace two full (B, V) fp32 HBM
+        # round-trips per step (~0.4 ms/step at B=192 base).
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        chosen = jnp.take_along_axis(logits, next_tok[:, None], axis=1)[:, 0]
+        cur_lp = chosen - lse
         # freeze finished rows: force EOT, stop accumulating logprob
         # (reference GreedyDecoder.update, decoding.py:277-293)
         sum_lp = s["sum_lp"] + jnp.where(s["finished"], 0.0, cur_lp)
