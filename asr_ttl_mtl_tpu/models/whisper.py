@@ -138,6 +138,20 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 # for Tq=1 converts the whole bf16 KV cache to fp32 in HBM every step.
 _FLASH = {"enabled": True, "decode_kernel": "auto"}  # "auto" | "off" | "interpret"
 
+# Fused W8A8 MLP kernel (ops/int8_mlp.py): measured NET-NEUTRAL at the
+# headline config (B=192 base: 38.4 ms of kernel time replacing ~40 ms of
+# XLA quantize/GELU/s32/dequant fusions — the kernel is VPU-bound on the
+# same elementwise work the fusions spend HBM time on; block_m/bf16-GELU/
+# W8A16 variants all within noise). Kept opt-in for future Mosaic
+# vectorization improvements; "auto" enables it on TPU.
+_INT8_MLP = {"mode": "off"}  # "auto" | "off"
+
+
+def set_int8_mlp_kernel(mode: str) -> None:
+    """Fused int8-MLP mode: "auto" (use on TPU when geometry fits), "off"."""
+    assert mode in ("auto", "off")
+    _INT8_MLP["mode"] = mode
+
 
 def set_flash_attention(enabled: bool) -> None:
     """Globally enable/disable the Pallas flash-attention fast path."""
@@ -286,6 +300,20 @@ def encoder_apply(
     attention itself and the conv frontend stay in compute_dtype."""
     lin = linear_i8 if int8_linears else linear
     p = params["encoder"]
+    # Fused Pallas W8A8 MLP (ops/int8_mlp.py): keeps the quantize/GELU/
+    # s32-accumulator intermediates in VMEM. Opt-in via set_int8_mlp_kernel
+    # ("auto") — measured net-neutral vs the XLA fusions at base geometry,
+    # see _INT8_MLP above. Gated like the other kernels: TPU backend,
+    # _FLASH master switch (meshes/shard_map flip it off — no GSPMD rules),
+    # and a VMEM-geometry check; the composition below is the fallback.
+    d_enc = dims.n_audio_state
+    use_mlp_kernel = False
+    if (int8_linears and _INT8_MLP["mode"] == "auto" and _FLASH["enabled"]
+            and jax.default_backend() == "tpu"):
+        from ..ops.int8_mlp import int8_mlp_supported
+
+        n_tok = mel.shape[0] * (-(-dims.n_audio_ctx // 128) * 128)
+        use_mlp_kernel = int8_mlp_supported(n_tok, d_enc, 4 * d_enc)
     x = mel.astype(compute_dtype)
     x = _gelu(conv1d(p["conv1"], x, stride=1))
     x = _gelu(conv1d(p["conv2"], x, stride=2))
@@ -322,8 +350,18 @@ def encoder_apply(
         # mlp
         res = x
         h = layer_norm(block["mlp_ln"], x)
-        h = _gelu(lin(block["mlp"]["fc1"], h))
-        x = res + lin(block["mlp"]["fc2"], h)
+        if use_mlp_kernel:
+            from ..ops.int8_mlp import int8_mlp
+
+            w1q, s1 = _quant_colwise_sym(block["mlp"]["fc1"]["w"].astype(_F32))
+            w2q, s2 = _quant_colwise_sym(block["mlp"]["fc2"]["w"].astype(_F32))
+            x = res + int8_mlp(
+                h, w1q, s1, block["mlp"]["fc1"]["b"].astype(_F32),
+                w2q, s2, block["mlp"]["fc2"]["b"].astype(_F32),
+            )
+        else:
+            h = _gelu(lin(block["mlp"]["fc1"], h))
+            x = res + lin(block["mlp"]["fc2"], h)
 
     x = x[:, :t_valid] if t_run != t_valid else x
     return layer_norm(p["ln_post"], x)
