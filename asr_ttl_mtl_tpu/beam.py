@@ -82,9 +82,11 @@ def _beam_window_fn(
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token):
         feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype, int8_linears=int8_encoder)
-        cross_f = W.precompute_cross_kv(params, dims, feats)
         # prefill reads the pre-quantization float K/V; only the beam loop
-        # reads the int8 store (see whisper.quantize_cross_kv docstring)
+        # reads the int8 store (see whisper.quantize_cross_kv docstring).
+        # Under kv_quant the float K/V stays UNstacked (per-layer tuples):
+        # only the int8 halves pay the (L, ...) stacking copies.
+        cross_f = W.precompute_cross_kv(params, dims, feats, stack=not kv_quant)
         cross_kv = W.quantize_cross_kv(cross_f) if kv_quant else cross_f
         return _beam_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,

@@ -290,10 +290,12 @@ def _greedy_window_fn(dims, cfg: FilterConfig, bucket: int, sample_len: int, com
 
     def run(params, mel, initial_tokens, valid_len, sot_index, no_speech_token, temperature, rng_seed):
         feats = W.encoder_apply(params, dims, mel.astype(compute_dtype), compute_dtype, int8_linears=int8_encoder)
-        cross_f = W.precompute_cross_kv(params, dims, feats)
         # the decode loop reads the int8 store; the prefill reads the
         # PRE-quantization float K/V it already produced (one pass, no
-        # dequantized f32 copy in HBM — quantize_cross_kv docstring)
+        # dequantized f32 copy in HBM — quantize_cross_kv docstring).
+        # Under kv_quant the float K/V stays UNstacked (per-layer tuples):
+        # only the int8 halves pay the (L, ...) stacking copies.
+        cross_f = W.precompute_cross_kv(params, dims, feats, stack=not kv_quant)
         cross_kv = W.quantize_cross_kv(cross_f) if kv_quant else cross_f
         return _greedy_program(
             params, cross_kv, initial_tokens, valid_len, sot_index,

@@ -426,18 +426,29 @@ def precompute_cross_kv(
     dims: ModelDimensions,
     audio_features: jnp.ndarray,
     quantize: bool = False,
+    stack: bool = True,
 ) -> Params:
     """Cross-attention K/V projected once per audio window (the reference
     computes these lazily inside its hook cache, decoding.py:101-109).
 
     With quantize=True the K/V are stored int8 with per-(layer, batch,
     position) fp32 row scales — the opt-in serving mode that halves the
-    decode step's dominant HBM traffic (ops/decode_attention.py)."""
+    decode step's dominant HBM traffic (ops/decode_attention.py).
+
+    stack=False returns per-layer tuples instead of stacked (L, B, Ta, D)
+    arrays. The fused int8 serving programs use this for the PREFILL's float
+    K/V: the prefill reads per-layer slices anyway, and skipping the float
+    stacking copies removed ~15 ms of dynamic-update-slice traffic per
+    B=192 base window (headline HLO profile) — only the int8 store (half
+    the bytes) is stacked for the layer-indexed decode kernel."""
     blocks = params["decoder"]["blocks"]
     ks, vs = [], []
     for block in blocks:
         ks.append(linear(block["cross_attn"]["key"], audio_features))
         vs.append(linear(block["cross_attn"]["value"], audio_features))
+    if not stack:
+        assert not quantize, "quantize_cross_kv stacks; use stack=True"
+        return {"k": tuple(ks), "v": tuple(vs)}
     k, v = jnp.stack(ks), jnp.stack(vs)  # (L, B, Ta, D)
     if quantize:
         return quantize_cross_kv({"k": k, "v": v})
@@ -452,9 +463,23 @@ def quantize_cross_kv(cross_kv: Params) -> Params:
     hand the PRE-quantization float K/V to the prefill (which reads each
     value once) and the int8 store to the decode loop — dequantizing the
     whole KV back to f32 for the prefill cost 14 ms of convert fusions plus
-    2.4 GB of HBM writes per window at B=192 base (headline HLO profile)."""
+    2.4 GB of HBM writes per window at B=192 base (headline HLO profile).
+
+    Accepts stacked (L, B, Ta, D) arrays or per-layer tuples
+    (precompute_cross_kv stack=False); tuples quantize per layer so only
+    the int8 halves are stacked — per-row abs-max scaling is independent
+    per (layer, batch, position) row, so the values are bit-identical."""
     from ..ops.decode_attention import quantize_kv_rows
 
+    if isinstance(cross_kv["k"], (tuple, list)):
+        kq = [quantize_kv_rows(k) for k in cross_kv["k"]]
+        vq = [quantize_kv_rows(v) for v in cross_kv["v"]]
+        return {
+            "k": jnp.stack([q for q, _ in kq]),
+            "k_scale": jnp.stack([s for _, s in kq]),
+            "v": jnp.stack([q for q, _ in vq]),
+            "v_scale": jnp.stack([s for _, s in vq]),
+        }
     ki, ksc = quantize_kv_rows(cross_kv["k"])
     vi, vsc = quantize_kv_rows(cross_kv["v"])
     return {"k": ki, "k_scale": ksc, "v": vi, "v_scale": vsc}
@@ -517,10 +542,17 @@ def decoder_apply(
 
     # beam / best-of-N: query rows are audio-major beam groups sharing one
     # cross-KV row each (row b*G+g attends audio b) — the KV is never
-    # replicated per beam, cutting cross-attention HBM traffic G-fold
-    kv_group = B // cross_kv["k"].shape[1]
-    assert B == kv_group * cross_kv["k"].shape[1], (
-        f"token batch {B} not a multiple of cross-KV batch {cross_kv['k'].shape[1]}"
+    # replicated per beam, cutting cross-attention HBM traffic G-fold.
+    # cross_kv["k"] is stacked (L, B, Ta, D) or a per-layer tuple of
+    # (B, Ta, D) (precompute_cross_kv stack=False, prefill-only).
+    cross_b = (
+        cross_kv["k"][0].shape[0]
+        if isinstance(cross_kv["k"], (tuple, list))
+        else cross_kv["k"].shape[1]
+    )
+    kv_group = B // cross_b
+    assert B == kv_group * cross_b, (
+        f"token batch {B} not a multiple of cross-KV batch {cross_b}"
     )
     assert not (return_cross_qk and kv_group > 1), "cross-QK capture needs group=1"
 
