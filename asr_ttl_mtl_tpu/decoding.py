@@ -213,8 +213,8 @@ def _apply_filters(
         # logits — two partial reductions instead of materializing a full
         # (B, V) fp32 log_softmax in HBM every step (was ~0.25 ms/step of
         # pure HBM traffic at B=192 base).
-        ts_logprob = jax.nn.logsumexp(logits[:, ts_begin:], axis=-1)
-        max_text = jnp.max(logits[:, :ts_begin], axis=-1)
+        ts_logprob = jax.nn.logsumexp(logits[:, ts_begin:].astype(jnp.float32), axis=-1)
+        max_text = jnp.max(logits[:, :ts_begin].astype(jnp.float32), axis=-1)
         force_ts = (ts_logprob > max_text)[:, None]
         logits = jnp.where(force_ts & (vocab_ids < ts_begin), _NEG, logits)
 
@@ -360,6 +360,13 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
     )[:, 0]
 
+    # carried/materialized per-step logits in bf16 under bf16 compute (f32
+    # accumulation, rounded store — halves ~24 ms/window of (B, V) fp32 HBM
+    # traffic at B=192 base); fp32 compute (CPU differential parity) keeps
+    # the fp32 logit contract bit-for-bit
+    ldt = _F32 if jnp.dtype(compute_dtype) == _F32 else jnp.dtype(compute_dtype)
+    first_logits = first_logits.astype(ldt)
+
     tokens_buf = jnp.concatenate(
         [initial_tokens, jnp.full((B, sample_len), cfg.eot, jnp.int32)], axis=1
     )
@@ -392,7 +399,7 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
             temperature == 0.0,
             lambda: jnp.argmax(logits, axis=-1).astype(jnp.int32),
             lambda: jax.random.categorical(
-                sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+                sub, logits.astype(_F32) / jnp.maximum(temperature, 1e-6), axis=-1
             ).astype(jnp.int32),
         )
 
@@ -401,9 +408,9 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         # decoding.py:283-285) equals logits[next] - logsumexp(logits).
         # Reductions + a (B,) gather replace two full (B, V) fp32 HBM
         # round-trips per step (~0.4 ms/step at B=192 base).
-        lse = jax.nn.logsumexp(logits, axis=-1)
+        lse = jax.nn.logsumexp(logits.astype(_F32), axis=-1)
         chosen = jnp.take_along_axis(logits, next_tok[:, None], axis=1)[:, 0]
-        cur_lp = chosen - lse
+        cur_lp = chosen.astype(_F32) - lse
         # freeze finished rows: force EOT, stop accumulating logprob
         # (reference GreedyDecoder.update, decoding.py:277-293)
         sum_lp = s["sum_lp"] + jnp.where(s["finished"], 0.0, cur_lp)
@@ -423,7 +430,7 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         step_logits, cache, _ = W.decoder_apply(
             params, dims, next_tok[:, None], cross_kv=cross_kv,
             kv_cache=s["cache"], pos_offset=pos,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, logits_dtype=ldt,
         )
         return dict(
             i=s["i"] + 1,

@@ -510,6 +510,7 @@ def decoder_apply(
     compute_dtype: jnp.dtype = jnp.float32,
     return_cross_qk: bool = False,
     logits_slice: Optional[int] = None,  # keep only the last N positions' logits
+    logits_dtype: Optional[jnp.dtype] = None,  # None = fp32 (default contract)
 ) -> Tuple[jnp.ndarray, Optional[Params], Optional[jnp.ndarray]]:
     """Run the text decoder over `tokens`.
 
@@ -684,6 +685,12 @@ def decoder_apply(
     logits = jnp.matmul(
         x, embed.T.astype(x.dtype), preferred_element_type=_F32
     )  # tied embeddings (reference model.py:245-247)
+    if logits_dtype is not None:
+        # serving decode loops store the per-step (B, V) logits in the
+        # compute dtype (f32 accumulation, rounded store): at B=192 base the
+        # fp32 logit tensors were ~24 ms/window of pure HBM traffic across
+        # the 64-step loop; downstream reductions upcast in-fusion
+        logits = logits.astype(logits_dtype)
 
     if self_quant:
         updated_cache = {
