@@ -165,6 +165,12 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         K,
         axis=0,
     )
+    # carried/materialized per-step logits in bf16 under bf16 compute (see
+    # decoding._greedy_program) — the ranking math below stays fp32: the
+    # materialized log_softmax and all candidate scores are fp32 (matching
+    # the reference's logits.float() log_softmax, decoding.py:341)
+    ldt = _F32 if jnp.dtype(compute_dtype) == _F32 else jnp.dtype(compute_dtype)
+    first_logits = first_logits.astype(ldt)
 
     tokens_buf = jnp.concatenate(
         [jnp.repeat(initial_tokens, K, axis=0),
@@ -202,7 +208,7 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         # its producer, so feeding it the raw filter fusion re-executes the
         # whole mask chain per pass (measured 2x slower); a materialized
         # buffer is read once per pass instead
-        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
+        logprobs = jax.nn.log_softmax(logits.astype(_F32), axis=-1)  # (BK, V)
 
         # per-beam top-(K+1) candidates (reference decoding.py:342)
         top_lp, top_tok = jax.lax.top_k(logprobs, K + 1)  # (BK, K+1)
@@ -270,6 +276,7 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         step_logits, cache, _ = W.decoder_apply(
             params, dims, prev[:, None], cross_kv=cross_kv,
             kv_cache=cache, pos_offset=pos, compute_dtype=compute_dtype,
+            logits_dtype=ldt,
         )
         return dict(
             i=s["i"] + 1,
