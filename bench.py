@@ -75,10 +75,12 @@ def main():
 
     model = from_random("base", seed=0, compute_dtype=compute_dtype)
 
-    # B=192 amortizes the fixed per-program launch overhead best: measured
-    # 8669 (B=64) / 9306 (96) / 9393 (128) / 9768 (192) / 9730 (256)
-    # audio-s/s on a v5e — the curve peaks at 192 while still fitting HBM
-    BATCH = int(os.environ.get("BATCH", "192" if on_tpu else "4"))
+    # The batch amortizes the fixed per-program launch overhead until HBM
+    # pressure bites. After the unstacked float-KV prefill + bf16 logit
+    # stores freed ~4 GB of peak HBM, the curve moved: measured 12589 (192)
+    # / 12383 (256) / 12724 (288) / 12868 (320) / 12865 (352) / 12351 (384)
+    # audio-s/s on a v5e — plateau at 320-352 (round-1-era peak was 192).
+    BATCH = int(os.environ.get("BATCH", "320" if on_tpu else "4"))
     DECODE_TOKENS = 64
     CHUNK_SECONDS = 30.0
 
