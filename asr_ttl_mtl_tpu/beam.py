@@ -169,7 +169,7 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
     # decoding._greedy_program) — the ranking math below stays fp32: the
     # materialized log_softmax and all candidate scores are fp32 (matching
     # the reference's logits.float() log_softmax, decoding.py:341)
-    ldt = _F32 if jnp.dtype(compute_dtype) == _F32 else jnp.dtype(compute_dtype)
+    ldt = jnp.dtype(compute_dtype)
     first_logits = first_logits.astype(ldt)
 
     tokens_buf = jnp.concatenate(

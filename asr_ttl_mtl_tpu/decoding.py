@@ -147,7 +147,9 @@ class FilterConfig:
 
 def _apply_filters(
     cfg: FilterConfig,
-    logits: jnp.ndarray,  # (B, V) fp32
+    logits: jnp.ndarray,  # (B, V) in the loop's compute dtype (bf16 on TPU,
+    # fp32 on the CPU parity path) — precision-sensitive math in here must
+    # upcast explicitly, as the timestamp-gate reductions do
     step: jnp.ndarray,  # scalar int: number of sampled tokens so far
     prev_tok: jnp.ndarray,  # (B,) last sampled token (-1 before any)
     penult_tok: jnp.ndarray,  # (B,) second-to-last sampled token (-1)
@@ -360,11 +362,11 @@ def _greedy_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         prefill_logits, (valid_len - 1)[None, None, None].astype(jnp.int32), axis=1
     )[:, 0]
 
-    # carried/materialized per-step logits in bf16 under bf16 compute (f32
+    # carried/materialized per-step logits in the compute dtype (f32
     # accumulation, rounded store — halves ~24 ms/window of (B, V) fp32 HBM
-    # traffic at B=192 base); fp32 compute (CPU differential parity) keeps
-    # the fp32 logit contract bit-for-bit
-    ldt = _F32 if jnp.dtype(compute_dtype) == _F32 else jnp.dtype(compute_dtype)
+    # traffic at B=192 base under bf16); fp32 compute (the CPU differential
+    # parity path) keeps the fp32 logit contract bit-for-bit
+    ldt = jnp.dtype(compute_dtype)
     first_logits = first_logits.astype(ldt)
 
     tokens_buf = jnp.concatenate(

@@ -232,8 +232,8 @@ def main():
 
     # reference (fp32 einsum on host shapes, one layer)
     def ref(layer):
-        qf = np.asarray(q, np.float32).reshape(B, H, 1, D // H)
-        qf = np.moveaxis(qf.reshape(B, 1, H, D // H), 2, 1)
+        qf = np.asarray(q, np.float32).reshape(B, 1, H, D // H)
+        qf = np.moveaxis(qf, 2, 1)  # (B, H, 1, dh)
         import ml_dtypes
         kfl = kf_h[layer].astype(ml_dtypes.bfloat16).astype(np.float32)
         kfl = kfl.reshape(B, T, H, D // H)

@@ -249,3 +249,45 @@ class TestOptionValidation:
         for kw in cases:
             with _pytest.raises(ValueError):
                 DecodingTask._verify_options(None, DecodingOptions(**kw))
+
+
+class TestBf16LogitCarry:
+    """The serving loops carry per-step logits in the compute dtype (bf16 on
+    TPU). CPU parity tests all run fp32, so without this the bf16 carry
+    wiring (while_loop dtype consistency, in-fusion upcasts) is exercised
+    only by on-chip runs."""
+
+    def _bf16_model(self):
+        from asr_ttl_mtl_tpu.models.registry import from_random
+
+        return from_random(DIMS, seed=3, compute_dtype=jnp.bfloat16)
+
+    @pytest.mark.parametrize("kv_quant", [False, True])
+    def test_greedy_bf16_runs_and_is_deterministic(self, kv_quant):
+        from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+
+        model = self._bf16_model()
+        opts = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=8,
+            fp16=True, kv_quant=kv_quant, temperature=0.0,
+        )
+        task = DecodingTask(model, opts)
+        r1 = task.run(jnp.asarray(_mel(batch=2, seed=5)))
+        r2 = task.run(jnp.asarray(_mel(batch=2, seed=5)))
+        for a, b in zip(r1, r2):
+            assert a.tokens == b.tokens
+            assert np.isfinite(a.avg_logprob)
+            assert all(0 <= t < DIMS.n_vocab for t in a.tokens)
+
+    def test_beam_bf16_runs(self):
+        from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
+
+        model = self._bf16_model()
+        opts = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=8,
+            fp16=True, beam_size=3, temperature=0.0,
+        )
+        task = DecodingTask(model, opts)
+        (res,) = task.run(jnp.asarray(_mel(batch=1, seed=6)))
+        assert np.isfinite(res.avg_logprob)
+        assert all(0 <= t < DIMS.n_vocab for t in res.tokens)
