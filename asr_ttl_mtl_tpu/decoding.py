@@ -792,14 +792,29 @@ class DecodingTask:
                 raise
             import warnings
 
+            # disable only the kernel the error names (Pallas failures carry
+            # the pallas_call's kernel name in the op path) — a flash-encoder
+            # compile failure at one model geometry must not degrade the
+            # decode kernel for the whole process, and vice versa
+            flash_failed = "flash_attention" in msg
+            decode_failed = "decode_attention" in msg
+            if not (flash_failed or decode_failed):
+                flash_failed = decode_failed = True  # unattributed: both off
             warnings.warn(
-                f"custom TPU kernel path failed ({msg}); "
-                "retrying with plain XLA attention"
+                f"custom TPU kernel path failed ({msg}); retrying with "
+                + ("plain XLA attention" if flash_failed and decode_failed
+                   else "the flash kernel off" if flash_failed
+                   else "the decode kernel off")
             )
-            W.set_decode_kernel("off")
-            W.set_flash_attention(False)
+            if decode_failed:
+                W.set_decode_kernel("off")
+            if flash_failed:
+                W.set_flash_attention(False)
             _clear_program_caches()
-            return self._run(mel, rng_seed)
+            # re-enter run (not _run) so a DIFFERENT kernel failing during
+            # the retry gets its own scoped disable; the kernels-already-off
+            # guard above bounds the recursion at two retries
+            return self.run(mel, rng_seed)
 
     def _run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
         tokenizer = self.tokenizer

@@ -166,11 +166,16 @@ def set_decode_kernel(mode: str) -> None:
 
 
 def _decode_kernel_state() -> tuple:
-    """(use_kernel, interpret) for the current backend/config."""
+    """(use_kernel, interpret) for the current backend/config.
+
+    Independent of the flash switch: every caller that needs ALL kernels
+    off (meshes, trainer) sets both flags explicitly, and the decode-kernel
+    failure ladder (decoding.DecodingTask.run) must be able to disable the
+    flash kernel for one bad geometry without degrading the decode loop."""
     mode = _FLASH["decode_kernel"]
     if mode == "interpret":
         return True, True
-    if mode == "off" or not _FLASH["enabled"]:
+    if mode == "off":
         return False, False
     return jax.default_backend() == "tpu", False
 

@@ -421,12 +421,14 @@ def flash_attention_mh(
 
     tk_pad = _round_up(tk, 128)
     if block_q is None:
-        # 128 is the VMEM-feasible width measured on v5e at encoder shapes:
-        # the whole key range stays resident per program (k+v dominate the
-        # 16 MB scoped budget) and already at block_q=256 the fp32 score
-        # buffers overflow it (24.9 MB at 512). 128 ran the B=192 base
-        # headline at 46 ms vs 55.6 ms for the head-split path.
-        block_q = 128
+        # 128 is the VMEM-feasible width measured on v5e at base encoder
+        # shapes (d=512): the whole key range stays resident per program
+        # (k+v dominate the 16 MB scoped budget) and already at block_q=256
+        # the fp32 score buffers overflow it (24.9 MB at 512). 128 ran the
+        # B=192 base headline at 46 ms vs 55.6 ms for the head-split path.
+        # At d=768 (small) block_q=128 overflows scoped VMEM by ~0.2 MB
+        # (measured: 16.19 MB needed) — halve the q block for wide models.
+        block_q = 128 if d <= 512 else 64
     tq_pad = _round_up(tq, block_q)
     if tq_pad != tq:
         q = jnp.pad(q, ((0, 0), (0, tq_pad - tq), (0, 0)))

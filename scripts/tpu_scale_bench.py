@@ -26,17 +26,22 @@ import numpy as np
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 BATCH = {"small": 32, "medium": 16, "large-v3": 8, "large-v3-turbo": 16}
+# best measured batches for the pipelined int8 config (PERF.md family table;
+# large-v3 B=32 exceeds the remote compiler's program-size ceiling)
+BATCH_PIPE = {"small": 96, "medium": 48, "large-v3": 24, "large-v3-turbo": 48}
 
 
-def bench_size(name: str, kv_quant: bool = False) -> None:
+def bench_size(name: str, kv_quant: bool = False, pipeline: bool = False,
+               int8_encoder: bool = False, batch: int = 0) -> None:
     from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
     from asr_ttl_mtl_tpu.models import from_random
 
     model = from_random(name, seed=0, compute_dtype=jnp.bfloat16)
-    batch = BATCH.get(name, 8)
+    batch = batch or (BATCH_PIPE if pipeline else BATCH).get(name, 8)
     opts = DecodingOptions(
         language="en", without_timestamps=True, sample_len=64,
         suppress_tokens="-1,50257", fp16=True, kv_quant=kv_quant,
+        int8_encoder=int8_encoder,
     )
     task = DecodingTask(model, opts)
     rng = np.random.RandomState(0)
@@ -49,10 +54,21 @@ def bench_size(name: str, kv_quant: bool = False) -> None:
 
     n = 5
     t0 = time.perf_counter()
-    for i in range(n):
-        task.run(mels, rng_seed=i)
+    if pipeline:
+        # depth-2 submit/collect: batch i+1's device execution overlaps
+        # batch i's fetch + host assembly (same pattern as bench.py)
+        pending = task.submit(mels, rng_seed=0)
+        for i in range(1, n):
+            nxt = task.submit(mels, rng_seed=i)
+            task.collect(pending)
+            pending = nxt
+        task.collect(pending)
+    else:
+        for i in range(n):
+            task.run(mels, rng_seed=i)
     dt = (time.perf_counter() - t0) / n
-    tag = " int8-KV" if kv_quant else ""
+    tag = (" int8-KV" if kv_quant else "") + (" int8-enc" if int8_encoder else "")
+    tag += " pipelined" if pipeline else ""
     print(
         f"[{name}{tag}] B={batch}: {dt * 1e3:.0f} ms/call -> "
         f"{batch * 30.0 / dt:.0f} audio-sec/sec/chip",
@@ -79,11 +95,15 @@ def bench_size(name: str, kv_quant: bool = False) -> None:
 def main():
     args = sys.argv[1:]
     kv_quant = "--kv_int8" in args
+    pipeline = "--pipeline" in args
+    int8_enc = "--int8_enc" in args
+    batch = int(os.environ.get("BATCH", "0"))
     sizes = [a for a in args if not a.startswith("--")] or [
         "small", "medium", "large-v3", "large-v3-turbo"
     ]
     for name in sizes:
-        bench_size(name, kv_quant=kv_quant)
+        bench_size(name, kv_quant=kv_quant, pipeline=pipeline,
+                   int8_encoder=int8_enc, batch=batch)
 
 
 if __name__ == "__main__":

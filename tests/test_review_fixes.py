@@ -197,3 +197,79 @@ def test_decode_kernel_failure_falls_back_to_xla(monkeypatch):
     for g, e in zip(got, expected):
         assert g.tokens == e.tokens
         assert g.text == e.text
+
+
+def test_kernel_failure_fallback_is_scoped_per_kernel(monkeypatch):
+    """A failure whose message names one Pallas kernel disables ONLY that
+    kernel: a flash-encoder compile failure at one model geometry must not
+    degrade the decode kernel for the whole process, and a second, different
+    kernel failing during the retry cascades into its own scoped disable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr_ttl_mtl_tpu import decoding as D
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.ops import decode_attention as DA
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=1, n_vocab=51864, n_text_ctx=96, n_text_state=64,
+        n_text_head=4, n_text_layer=1,
+    )
+    params = W.init_params(jax.random.PRNGKey(0), dims)
+    model = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 80, 192).astype(np.float32) * 0.5)
+    opts = D.DecodingOptions(language="en", without_timestamps=True,
+                             sample_len=6, fp16=False, suppress_tokens=None)
+    expected = D.DecodingTask(model, opts).run(mel)
+
+    # (a) scoped: an error naming decode_attention leaves flash enabled
+    def decode_boom(*a, **k):
+        raise RuntimeError(
+            "Mosaic compile failed for pallas kernel decode_attention")
+
+    state_before = dict(W._FLASH)
+    monkeypatch.setattr(DA, "decode_attention", decode_boom)
+    try:
+        W.set_flash_attention(True)
+        W.set_decode_kernel("interpret")
+        D._clear_program_caches()
+        got = D.DecodingTask(model, opts).run(mel)
+        assert W._FLASH["decode_kernel"] == "off"
+        assert W._FLASH["enabled"] is True  # flash untouched
+    finally:
+        W._FLASH.update(state_before)
+        D._clear_program_caches()
+    for g, e in zip(got, expected):
+        assert g.tokens == e.tokens
+
+    # (b) cascade: flash-named failure first, decode-named on the retry —
+    # both end up off and the window still decodes
+    calls = {"n": 0}
+
+    def two_stage_boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "Mosaic compile failed for pallas kernel flash_attention")
+        raise RuntimeError(
+            "Mosaic compile failed for pallas kernel decode_attention")
+
+    monkeypatch.setattr(DA, "decode_attention", two_stage_boom)
+    try:
+        W.set_flash_attention(True)
+        W.set_decode_kernel("interpret")
+        D._clear_program_caches()
+        got = D.DecodingTask(model, opts).run(mel)
+        assert W._FLASH["decode_kernel"] == "off"
+        assert W._FLASH["enabled"] is False
+        assert calls["n"] == 2
+    finally:
+        W._FLASH.update(state_before)
+        D._clear_program_caches()
+    for g, e in zip(got, expected):
+        assert g.tokens == e.tokens
