@@ -152,6 +152,23 @@ class TestFlashMH:
             np.asarray(got, np.float32), np.asarray(want), atol=3e-2, rtol=3e-2
         )
 
+    def test_wide_model_block_q(self):
+        # d=768 (small encoder) takes the narrow block_q=64 default (the
+        # 128-wide block overflows scoped VMEM on chip at this width) —
+        # exercise that branch's padding/masking with an unaligned Tq
+        from asr_ttl_mtl_tpu.ops.flash_attention import (
+            flash_attention_mh, mh_flash_eligible,
+        )
+
+        assert mh_flash_eligible(1500, 1500, 768, 12, causal=False)  # small
+        q, k, v = self._inputs(tq=200, tk=256, h=12, dh=64, seed=11)
+        got = flash_attention_mh(
+            q, k, v, n_head=12, kv_valid_len=230, scale=0.125, interpret=True
+        )
+        want = self._reference_mh(q, k, v, 12, kv_valid_len=230, scale=0.125)
+        assert got.shape == q.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
     def test_eligibility_gate(self):
         from asr_ttl_mtl_tpu.ops.flash_attention import mh_flash_eligible
 
