@@ -23,6 +23,12 @@ python -m asr_ttl_mtl_tpu audio1.wav --model base --language en \
 python -m asr_ttl_mtl_tpu audio*.wav --model base --language en \
   --batch_mode True --beam_size 5 --kv_int8 True --output_dir out/
 
+# Per-model best measured throughput configs (PERF.md family table):
+#   tiny/base/small  -> --kv_int8 True --int8_encoder True  (int8 enc wins at d<=768)
+#   medium/large/turbo -> --kv_int8 True                    (bf16 enc wins at d>=1024)
+python -m asr_ttl_mtl_tpu audio*.wav --model small --language en \
+  --batch_mode True --kv_int8 True --int8_encoder True --output_dir out/
+
 # Very large model whose fused encoder+decode program exceeds a remote
 # compiler's size limit: compile them as two smaller programs instead
 # (still pipelined; needed for large-v3 at B>=32 through a tunnel):
