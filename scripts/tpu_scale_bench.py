@@ -27,8 +27,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 BATCH = {"small": 32, "medium": 16, "large-v3": 8, "large-v3-turbo": 16}
 # best measured batches for the pipelined int8 config (PERF.md family table;
-# large-v3 B=32 exceeds the remote compiler's program-size ceiling)
-BATCH_PIPE = {"small": 96, "medium": 48, "large-v3": 24, "large-v3-turbo": 48}
+# large-v3 B=32 exceeds the remote compiler's program-size ceiling when fused.
+# int8 encoder only helps at d<=768: pass --int8_enc for small, not for
+# medium/large/turbo — see the family-table sweep in PERF.md)
+BATCH_PIPE = {"small": 128, "medium": 64, "large-v3": 24, "large-v3-turbo": 96}
 
 
 def bench_size(name: str, kv_quant: bool = False, pipeline: bool = False,
