@@ -19,7 +19,7 @@ python -m asr_ttl_mtl_tpu audio1.wav --model base --language en \
   --beam_size 5 --patience 1.5 --output_dir out/
 
 # Batched beam serving (submit/collect pipelined; PERF.md: beam=5 int8
-# B=48 = 4036 audio-sec/s/chip on a v5e):
+# B=48 = 4439 audio-sec/s/chip on a v5e):
 python -m asr_ttl_mtl_tpu audio*.wav --model base --language en \
   --batch_mode True --beam_size 5 --kv_int8 True --output_dir out/
 

@@ -25,12 +25,13 @@ import numpy as np
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-BATCH = {"small": 32, "medium": 16, "large-v3": 8, "large-v3-turbo": 16}
+BATCH = {"tiny": 64, "small": 32, "medium": 16, "large-v3": 8, "large-v3-turbo": 16}
 # best measured batches for the pipelined int8 config (PERF.md family table;
 # large-v3 B=32 exceeds the remote compiler's program-size ceiling when fused.
-# int8 encoder only helps at d<=768: pass --int8_enc for small, not for
+# int8 encoder only helps at d<=768: pass --int8_enc for tiny/small, not for
 # medium/large/turbo — see the family-table sweep in PERF.md)
-BATCH_PIPE = {"small": 128, "medium": 64, "large-v3": 24, "large-v3-turbo": 96}
+BATCH_PIPE = {"tiny": 768, "small": 128, "medium": 64, "large-v3": 24,
+              "large-v3-turbo": 96}
 
 
 def bench_size(name: str, kv_quant: bool = False, pipeline: bool = False,
