@@ -132,7 +132,10 @@ def find_alignment(
         weights = np.asarray(weights, dtype=np.float64)[:, :, : num_frames // 2]
         mean = weights.mean(axis=-2, keepdims=True)
         std = weights.std(axis=-2, keepdims=True)
-        weights = (weights - mean) / std
+        # a zero-variance column yields NaN exactly like the reference's torch
+        # standardization (timing.py:207-212); suppress numpy's warning only
+        with np.errstate(invalid="ignore", divide="ignore"):
+            weights = (weights - mean) / std
         weights = median_filter(weights, medfilt_width)
         matrix = weights.mean(axis=0)
     matrix = matrix[len(tokenizer.sot_sequence) : -1]
