@@ -175,7 +175,9 @@ def export_torch_state_dict(params: W.Params, dims: ModelDimensions) -> Dict[str
         a = np.asarray(arr)
         if transpose:
             a = a.T
-        sd[name] = torch.from_numpy(np.ascontiguousarray(a))
+        # force a writable copy: jax arrays view as read-only numpy, and
+        # torch.from_numpy on a read-only view warns (undefined on write)
+        sd[name] = torch.from_numpy(np.array(a, copy=True, order="C"))
 
     def lin(prefix, p):
         put(f"{prefix}.weight", p["w"], transpose=True)
