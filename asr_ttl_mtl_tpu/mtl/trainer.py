@@ -904,11 +904,17 @@ class MultiTaskTrainer:
         import torch
 
         cp = jax.device_get(self.classifier_params)
+
+        # force writable C-order copies: jax arrays view as read-only numpy,
+        # and torch.from_numpy on a read-only view warns (undefined on write)
+        def t(a):
+            return torch.from_numpy(np.array(a, copy=True, order="C"))
+
         return {
-            "0.weight": torch.from_numpy(np.ascontiguousarray(np.asarray(cp["fc1"]["w"]).T)),
-            "0.bias": torch.from_numpy(np.asarray(cp["fc1"]["b"])),
-            "3.weight": torch.from_numpy(np.ascontiguousarray(np.asarray(cp["fc2"]["w"]).T)),
-            "3.bias": torch.from_numpy(np.asarray(cp["fc2"]["b"])),
+            "0.weight": t(np.asarray(cp["fc1"]["w"]).T),
+            "0.bias": t(cp["fc1"]["b"]),
+            "3.weight": t(np.asarray(cp["fc2"]["w"]).T),
+            "3.bias": t(cp["fc2"]["b"]),
         }
 
     def _load_classifier_state_dict(self, sd):

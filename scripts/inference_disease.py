@@ -253,12 +253,22 @@ def main():
     parser.add_argument("--model_path", type=str, required=True)
     parser.add_argument("--data_dir", type=str, default="../data")
     parser.add_argument("--test_file", type=str, default="custom_test.csv")
+    parser.add_argument("--test_csv", type=str, default=None,
+                        help="direct path to the test CSV (overrides "
+                        "--data_dir/--test_file, which resolve relative to "
+                        "the scripts directory like the reference "
+                        "inference_disease.py:344-365)")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--save_results", type=str, default=None)
     args = parser.parse_args()
 
-    script_dir = os.path.dirname(os.path.abspath(__file__))
-    test_csv = os.path.normpath(os.path.join(script_dir, args.data_dir, args.test_file))
+    if args.test_csv:
+        test_csv = args.test_csv
+    else:
+        script_dir = os.path.dirname(os.path.abspath(__file__))
+        test_csv = os.path.normpath(
+            os.path.join(script_dir, args.data_dir, args.test_file)
+        )
     if not os.path.exists(test_csv):
         print(f"Error: Test file not found: {test_csv}")
         return
