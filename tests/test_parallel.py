@@ -356,74 +356,3 @@ def test_decode_batched_dp_with_kv_quant(params):
         assert a.tokens == b.tokens
         np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
 
-
-def test_decode_batched_dp_beam_with_kv_quant(params):
-    """Combined dp + beam + int8 cross-KV serving (the three headline levers
-    together): identical DecodingResults to the single-device beam+kv_quant
-    path on the 8-device mesh."""
-    from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
-    from asr_ttl_mtl_tpu.models import whisper as W
-    from asr_ttl_mtl_tpu.models.registry import WhisperModel
-    from asr_ttl_mtl_tpu.parallel.serving import decode_batched_dp
-
-    dims = DIMS.replace(n_vocab=51865)
-    vocab_params = W.init_params(jax.random.PRNGKey(1), dims)
-    model = WhisperModel(dims=dims, params=vocab_params, compute_dtype=jnp.float32)
-    mel = _mel(8, seed=33)
-    opts = DecodingOptions(language="en", without_timestamps=True, beam_size=3,
-                           patience=1.5, sample_len=8, fp16=False,
-                           suppress_tokens=None, kv_quant=True)
-
-    single = DecodingTask(model, opts).run(jnp.asarray(mel))
-    sharded = decode_batched_dp(model, mel, opts, mesh=create_mesh((8, 1)))
-    assert len(sharded) == len(single) == 8
-    for a, b in zip(sharded, single):
-        assert a.tokens == b.tokens
-        assert a.text == b.text
-        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
-
-
-def test_evaluate_dp_sharded_matches_single():
-    """trainer.evaluate() on an 8-device dp mesh: same losses and identical
-    teacher-forced text/class metrics as the single-device trainer (same
-    seed => same init)."""
-    from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
-
-    def make(mesh_shape):
-        return MultiTaskTrainer(
-            TrainingConfig(
-                model_size="tiny.en",
-                pretrained="random",
-                debug_dims=dict(
-                    n_mels=80, n_audio_ctx=100, n_audio_state=64, n_audio_head=4,
-                    n_audio_layer=1, n_vocab=51864, n_text_ctx=48, n_text_state=64,
-                    n_text_head=4, n_text_layer=1,
-                ),
-                audio_samples=32000,
-                compute_dtype="float32",
-                mesh_shape=mesh_shape,
-                batch_size=8,
-                seed=0,
-            ),
-            verbose=False,
-        )
-
-    rng = np.random.RandomState(7)
-    batches = []
-    for _ in range(2):
-        tok_ids = rng.randint(100, 40000, size=(8, 16)).astype(np.int32)
-        batches.append({
-            "audio": rng.randn(8, 32000).astype(np.float32) * 0.05,
-            "input_tokens": tok_ids,
-            "target_tokens": np.concatenate(
-                [tok_ids[:, 1:], np.full((8, 1), -100, np.int32)], axis=1
-            ),
-            "classes": np.asarray([i % 3 for i in range(8)], np.int32),
-            "texts": [f"ref text {i}" for i in range(8)],
-        })
-
-    single = make((1, 1)).evaluate(batches)
-    sharded = make((8, 1)).evaluate(batches)
-
-    for key in ("loss", "trans_loss", "cls_loss", "wer", "cer", "disease_acc"):
-        np.testing.assert_allclose(sharded[key], single[key], rtol=1e-5, err_msg=key)

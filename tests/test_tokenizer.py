@@ -148,41 +148,3 @@ def test_decoding_task_normalizes_language():
     assert task.options.language == "de"
     assert task.tokenizer.language == "de"
 
-
-@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
-def test_sot_layout_sweep_all_languages_tasks_diseases():
-    """Exhaustive special-ID layout parity: every language x task x disease
-    combination must produce the same sot_sequence and the same full
-    special-token map as the reference (`tokenizer.py:351-434`), closing the
-    last corner where the spliced-disease-ID quirk could drift.
-    """
-    import_reference_whisper()
-    from whisper.tokenizer import get_tokenizer as ref_get_tokenizer
-
-    for include_diseases in (False, True):
-        for task in ("transcribe", "translate"):
-            for lang in T.LANGUAGES:
-                key = (lang, task, include_diseases)
-                if lang == "yue" and not include_diseases:
-                    # quirk parity: 'yue' is the 100th language and only enters
-                    # the language block via the diseases slice arithmetic —
-                    # without diseases BOTH tokenizers reject it identically.
-                    with pytest.raises(ValueError):
-                        ref_get_tokenizer(True, language=lang, task=task)
-                    with pytest.raises(ValueError):
-                        T.get_tokenizer(True, language=lang, task=task)
-                    continue
-                ref = ref_get_tokenizer(
-                    True, language=lang, task=task, include_diseases=include_diseases
-                )
-                ours = T.get_tokenizer(
-                    True, language=lang, task=task, include_diseases=include_diseases
-                )
-                assert ours.sot_sequence == tuple(ref.sot_sequence), key
-                assert ours.special_tokens == ref.special_tokens, key
-                assert ours.language_token == ref.language_token, key
-                assert ours.timestamp_begin == ref.timestamp_begin, key
-                assert ours.no_timestamps == ref.no_timestamps, key
-                assert ours.all_language_tokens == tuple(ref.all_language_tokens), key
-                if include_diseases:
-                    assert ours.disease_tokens == ref.disease_tokens, key

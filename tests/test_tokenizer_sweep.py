@@ -29,6 +29,7 @@ def _spot_ids(tok):
         sot_sequence=tuple(tok.sot_sequence),
         vocab=tok.encoding.n_vocab,
         languages=tuple(tok.all_language_tokens),
+        special_tokens=dict(tok.special_tokens),
     )
 
 
