@@ -768,11 +768,18 @@ class DecodingTask:
             self.model.dims, self._dtype_name, self.kv_quant, self.int8_encoder
         )(self.model.params, mel)
 
-    def run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
+    def run(
+        self, mel: jnp.ndarray, rng_seed: int = 0, _disabled: tuple = ()
+    ) -> List[DecodingResult]:
         """Decode one batch of 30 s windows; on a Pallas kernel
         compile/launch failure, disable the custom kernels and retry once on
         the plain XLA paths (the reference does the same for Triton launch
-        failures, timing.py:41-46 — never crash on a kernel problem)."""
+        failures, timing.py:41-46 — never crash on a kernel problem).
+
+        `_disabled` is the ladder's own memory of which kernels IT already
+        turned off: the recursion is bounded by |{flash, decode}| retries
+        even if a stale/mislabeled Mosaic message keeps naming a kernel
+        that is already disabled."""
         try:
             return self._run(mel, rng_seed)
         except Exception as e:
@@ -785,36 +792,46 @@ class DecodingTask:
             # backend contention / OOM / remote-compile errors must propagate
             # without permanently degrading the whole process to XLA paths
             msg = f"{type(e).__name__}: {e}"
+            low = msg.lower()
             # 'custom_call' alone is too generic (appears in unrelated XLA
             # runtime errors); require a Mosaic/Pallas-specific marker
             kernel_markers = ("mosaic", "pallas", "tpu_custom_call")
-            if not any(m in msg.lower() for m in kernel_markers):
+            if not any(m in low for m in kernel_markers):
                 raise
             import warnings
 
             # disable only the kernel the error names (Pallas failures carry
-            # the pallas_call's kernel name in the op path) — a flash-encoder
-            # compile failure at one model geometry must not degrade the
-            # decode kernel for the whole process, and vice versa
-            flash_failed = "flash_attention" in msg
-            decode_failed = "decode_attention" in msg
-            if not (flash_failed or decode_failed):
-                flash_failed = decode_failed = True  # unattributed: both off
+            # the pallas_call's kernel name in the op path; match lowercased
+            # like the marker check) — a flash-encoder compile failure at one
+            # model geometry must not degrade the decode kernel for the whole
+            # process, and vice versa
+            failed = set()
+            if "flash_attention" in low:
+                failed.add("flash")
+            if "decode_attention" in low:
+                failed.add("decode")
+            if not failed:
+                failed = {"flash", "decode"}  # unattributed: both off
+            newly = failed - set(_disabled)
+            if not newly:
+                # every kernel this error names was already disabled by this
+                # ladder — retrying again cannot change anything
+                raise
             warnings.warn(
                 f"custom TPU kernel path failed ({msg}); retrying with "
-                + ("plain XLA attention" if flash_failed and decode_failed
-                   else "the flash kernel off" if flash_failed
+                + ("plain XLA attention" if newly == {"flash", "decode"}
+                   else "the flash kernel off" if newly == {"flash"}
                    else "the decode kernel off")
             )
-            if decode_failed:
+            if "decode" in newly:
                 W.set_decode_kernel("off")
-            if flash_failed:
+            if "flash" in newly:
                 W.set_flash_attention(False)
             _clear_program_caches()
             # re-enter run (not _run) so a DIFFERENT kernel failing during
-            # the retry gets its own scoped disable; the kernels-already-off
-            # guard above bounds the recursion at two retries
-            return self.run(mel, rng_seed)
+            # the retry gets its own scoped disable; _disabled bounds the
+            # recursion at two retries
+            return self.run(mel, rng_seed, _disabled=tuple(set(_disabled) | newly))
 
     def _run(self, mel: jnp.ndarray, rng_seed: int = 0) -> List[DecodingResult]:
         tokenizer = self.tokenizer

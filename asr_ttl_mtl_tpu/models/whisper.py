@@ -154,8 +154,22 @@ def set_int8_mlp_kernel(mode: str) -> None:
 
 
 def set_flash_attention(enabled: bool) -> None:
-    """Globally enable/disable the Pallas flash-attention fast path."""
+    """Globally enable/disable the Pallas flash-attention fast path.
+
+    Controls ONLY the flash (Tq>=16) kernel; the single-token decode kernel
+    has its own switch (`set_decode_kernel`) so the failure ladder can
+    disable one bad geometry without degrading the other. Callers that want
+    the plain-XLA path everywhere should use `set_kernels(False)`."""
     _FLASH["enabled"] = bool(enabled)
+
+
+def set_kernels(enabled: bool) -> None:
+    """Enable/disable BOTH Pallas attention kernels (flash + decode) — the
+    one-call switch for "force the plain XLA path" (tests, pjit tracing,
+    debugging). Equivalent to set_flash_attention(enabled) +
+    set_decode_kernel("auto" if enabled else "off")."""
+    set_flash_attention(enabled)
+    set_decode_kernel("auto" if enabled else "off")
 
 
 def set_decode_kernel(mode: str) -> None:

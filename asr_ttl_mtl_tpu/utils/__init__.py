@@ -2,79 +2,110 @@
 
 Functional parity targets: reference `whisper/utils.py:24-82` (exact_div,
 str2bool, optional_int/float, compression_ratio, format_timestamp,
-get_start/get_end, make_safe). Writers live in
-:mod:`asr_ttl_mtl_tpu.utils.writers`.
+get_start/get_end, make_safe) — same observable behavior, this framework's
+own expression. Writers live in :mod:`asr_ttl_mtl_tpu.utils.writers`.
 """
 
 from __future__ import annotations
 
 import sys
 import zlib
-from typing import List, Optional
+from typing import Callable, List, Optional, TypeVar
 
 system_encoding = sys.getdefaultencoding()
 
+_T = TypeVar("_T")
+
 
 def make_safe(string: str) -> str:
-    """Replace characters not representable in the system encoding with '?'."""
+    """Make `string` printable on the current stdout encoding.
+
+    A UTF-8 console (the overwhelmingly common case) passes through
+    untouched; anything narrower gets unrepresentable characters replaced
+    via an encode/decode round-trip."""
     if system_encoding == "utf-8":
         return string
     return string.encode(system_encoding, errors="replace").decode(system_encoding)
 
 
 def exact_div(x: int, y: int) -> int:
-    assert x % y == 0
-    return x // y
+    """Integer division that insists on divisibility (audio-frame math:
+    a remainder means a constant upstream is wrong, not a rounding choice)."""
+    quotient, remainder = divmod(x, y)
+    assert remainder == 0
+    return quotient
+
+
+_BOOL_WORDS = {"True": True, "False": False}
 
 
 def str2bool(string: str) -> bool:
-    str2val = {"True": True, "False": False}
-    if string in str2val:
-        return str2val[string]
-    raise ValueError(f"Expected one of {set(str2val.keys())}, got {string}")
+    """argparse bool type: accepts exactly the Python literals True/False."""
+    try:
+        return _BOOL_WORDS[string]
+    except KeyError:
+        raise ValueError(
+            f"Expected one of {set(_BOOL_WORDS.keys())}, got {string}"
+        ) from None
+
+
+def _none_or(string: str, parse: Callable[[str], _T]) -> Optional[_T]:
+    """argparse helper: the literal "None" means None, anything else parses."""
+    if string == "None":
+        return None
+    return parse(string)
 
 
 def optional_int(string: str) -> Optional[int]:
-    return None if string == "None" else int(string)
+    return _none_or(string, int)
 
 
 def optional_float(string: str) -> Optional[float]:
-    return None if string == "None" else float(string)
+    return _none_or(string, float)
 
 
 def compression_ratio(text: str) -> float:
     """gzip compressibility of the text; >2.4 flags degenerate repetition
     (used by the temperature-fallback ladder, reference `transcribe.py:203-208`)."""
-    text_bytes = text.encode("utf-8")
-    return len(text_bytes) / len(zlib.compress(text_bytes))
+    raw = text.encode("utf-8")
+    return len(raw) / len(zlib.compress(raw))
 
 
 def format_timestamp(
     seconds: float, always_include_hours: bool = False, decimal_marker: str = "."
 ) -> str:
+    """Render seconds as [HH:]MM:SS<marker>mmm (SRT/VTT cue timestamps)."""
     assert seconds >= 0, "non-negative timestamp expected"
-    milliseconds = round(seconds * 1000.0)
-
-    hours, milliseconds = divmod(milliseconds, 3_600_000)
-    minutes, milliseconds = divmod(milliseconds, 60_000)
-    seconds, milliseconds = divmod(milliseconds, 1_000)
-
-    hours_marker = f"{hours:02d}:" if always_include_hours or hours > 0 else ""
-    return f"{hours_marker}{minutes:02d}:{seconds:02d}{decimal_marker}{milliseconds:03d}"
+    total_ms = round(seconds * 1000.0)
+    ms = total_ms % 1000
+    mins, secs = divmod(total_ms // 1000, 60)
+    hours, mins = divmod(mins, 60)
+    body = f"{mins:02d}:{secs:02d}{decimal_marker}{ms:03d}"
+    if always_include_hours or hours:
+        return f"{hours:02d}:{body}"
+    return body
 
 
 def get_start(segments: List[dict]) -> Optional[float]:
-    return next(
-        (w["start"] for s in segments for w in s["words"]),
-        segments[0]["start"] if segments else None,
-    )
+    """Start time of the first aligned word; the first segment's start when
+    no segment carries words; None for an empty result."""
+    for segment in segments:
+        for word in segment["words"]:
+            return word["start"]
+    if segments:
+        return segments[0]["start"]
+    return None
 
 
 def get_end(segments: List[dict]) -> Optional[float]:
-    return next(
-        (w["end"] for s in reversed(segments) for w in reversed(s["words"])),
-        segments[-1]["end"] if segments else None,
-    )
+    """End time of the last aligned word; the last segment's end when no
+    segment carries words; None for an empty result."""
+    for segment in reversed(segments):
+        for word in reversed(segment["words"]):
+            return word["end"]
+    if segments:
+        return segments[-1]["end"]
+    return None
 
 
 # Re-export the writers so `asr_ttl_mtl_tpu.utils` presents the same surface

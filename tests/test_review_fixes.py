@@ -273,3 +273,74 @@ def test_kernel_failure_fallback_is_scoped_per_kernel(monkeypatch):
         D._clear_program_caches()
     for g, e in zip(got, expected):
         assert g.tokens == e.tokens
+
+
+def test_kernel_failure_ladder_is_depth_bounded(monkeypatch):
+    """A Mosaic error that keeps naming a kernel the ladder ALREADY disabled
+    (stale/mislabeled attribution) must raise instead of recursing forever:
+    the ladder tracks its own disables and refuses a retry that cannot
+    change anything."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from asr_ttl_mtl_tpu import decoding as D
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import ModelDimensions
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+    from asr_ttl_mtl_tpu.ops import decode_attention as DA
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=1, n_vocab=51864, n_text_ctx=96, n_text_state=64,
+        n_text_head=4, n_text_layer=1,
+    )
+    params = W.init_params(jax.random.PRNGKey(0), dims)
+    model = WhisperModel(dims=dims, params=params, compute_dtype=jnp.float32)
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, 80, 192).astype(np.float32))
+    opts = D.DecodingOptions(language="en", without_timestamps=True,
+                             sample_len=4, fp16=False, suppress_tokens=None)
+
+    calls = {"n": 0}
+
+    def always_flash_named(*a, **k):
+        calls["n"] += 1
+        # names flash_attention even though the decode kernel is the caller;
+        # after flash is off the attribution is stale — must not loop
+        raise RuntimeError("Mosaic compile failed for pallas kernel Flash_Attention")
+
+    state_before = dict(W._FLASH)
+    monkeypatch.setattr(DA, "decode_attention", always_flash_named)
+    try:
+        W.set_flash_attention(True)
+        W.set_decode_kernel("interpret")
+        D._clear_program_caches()
+        with pytest.raises(RuntimeError, match="Flash_Attention"):
+            D.DecodingTask(model, opts).run(mel)
+        # capitalized kernel name attributed correctly (lowercased match):
+        # only flash disabled, and exactly one retry attempted
+        assert W._FLASH["enabled"] is False
+        assert W._FLASH["decode_kernel"] == "interpret"
+        assert calls["n"] == 2
+    finally:
+        W._FLASH.update(state_before)
+        D._clear_program_caches()
+
+
+def test_set_kernels_convenience():
+    """set_kernels(False) is the one-call plain-XLA switch: both the flash
+    and the decode kernel flags flip (the two-flag contract is otherwise
+    easy to miss — set_flash_attention alone leaves the decode kernel on)."""
+    from asr_ttl_mtl_tpu.models import whisper as W
+
+    state_before = dict(W._FLASH)
+    try:
+        W.set_kernels(False)
+        assert W._FLASH["enabled"] is False
+        assert W._FLASH["decode_kernel"] == "off"
+        W.set_kernels(True)
+        assert W._FLASH["enabled"] is True
+        assert W._FLASH["decode_kernel"] == "auto"
+    finally:
+        W._FLASH.update(state_before)
