@@ -106,6 +106,16 @@ class TrainingConfig:
     # hosts. A >1-device mesh always runs unpacked (a flat concat cannot
     # carry per-leaf NamedShardings).
     packed_dispatch: Optional[bool] = None
+    # data-parallel execution mode when tp == 1. True (default): the train/
+    # eval steps run under shard_map with the batch sharded over dp — every
+    # device traces on LOCAL shapes, so the Pallas flash-attention kernels
+    # (and their fused backward) stay live on multi-device meshes, exactly
+    # like parallel/serving.py's dp decode path; gradients are psum'd over
+    # ICI inside the mapped step. False: GSPMD/pjit path (kernels off on
+    # >1-device meshes — pallas_call has no partitioning rules). "force":
+    # use shard_map even on a 1-device mesh (timing validation). tp > 1
+    # always takes the pjit path.
+    dp_shard_map: object = True
 
 
 DISORDER_TYPE = {0: "Normal", 1: "Dysphonia", 2: "Dysarthria"}

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import PartitionSpec as P
 
 from ..audio import finish_transfer_mel, log_mel_spectrogram_jax
 from ..models import whisper as W
@@ -81,12 +82,21 @@ def classifier_apply(
     dropout_rng: Optional[jax.Array] = None,
     train: bool = False,
     compute_dtype=jnp.float32,
+    dropout_rows: Optional[Tuple[Any, int]] = None,
 ) -> jnp.ndarray:
     x = pooled.astype(compute_dtype)
     x = jnp.matmul(x, cp["fc1"]["w"].astype(compute_dtype), preferred_element_type=_F32)
     x = jax.nn.relu(x + cp["fc1"]["b"].astype(_F32))
     if train and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 0.9, x.shape)
+        if dropout_rows is not None:
+            # inside shard_map: draw the GLOBAL-batch mask and slice this
+            # shard's row block, so dropout is bit-identical to the pjit
+            # path (threefry bits are a function of global element index)
+            row0, global_b = dropout_rows
+            keep = jax.random.bernoulli(dropout_rng, 0.9, (global_b,) + x.shape[1:])
+            keep = jax.lax.dynamic_slice_in_dim(keep, row0, x.shape[0], 0)
+        else:
+            keep = jax.random.bernoulli(dropout_rng, 0.9, x.shape)
         x = jnp.where(keep, x / 0.9, 0.0)
     x = x.astype(compute_dtype)
     logits = jnp.matmul(x, cp["fc2"]["w"].astype(compute_dtype), preferred_element_type=_F32)
@@ -113,6 +123,16 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> Tuple[jnp.ndarray
     logprobs = jax.nn.log_softmax(logits.astype(_F32), axis=-1)
     per_row = -jnp.take_along_axis(logprobs, labels[:, None], axis=-1)[:, 0]
     return per_row.mean(), per_row
+
+
+def _global_sum_local_grad(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Cross-shard sum whose VALUE is psum(x) (bit-exact, replicated) but
+    whose GRADIENT is d(x)/dtheta — the local share only. `x - sg(x)` is
+    exactly 0.0 in the primal, so the value is the pure psum; AD sees the
+    tangent of the bare `x` term. Keeps psum off the grad path, where
+    shard_map(check_vma=False) would transpose it to another psum."""
+    sg = jax.lax.stop_gradient
+    return sg(jax.lax.psum(x, axis)) + (x - sg(x))
 
 
 # ---------------------------------------------------------------------------
@@ -149,11 +169,19 @@ class MultiTaskTrainer:
         self.classifier_params = init_classifier_params(key, self.model.dims.n_audio_state)
 
         self.mesh = create_mesh(config.mesh_shape)
-        if self.mesh.size > 1:
-            # the Pallas attention kernels carry no GSPMD partitioning rules:
-            # under a multi-device mesh the einsum paths shard cleanly while
-            # pallas_call would force gathers (or fail to partition) on the
-            # head-merged inputs — keep kernels for single-chip runs only
+        tp = self.mesh.shape.get("tp", 1)
+        # dp-only meshes train under shard_map (LOCAL shapes per device), so
+        # the Pallas flash-attention kernels and their fused backward stay
+        # live — the same pattern parallel/serving.py uses for dp decode.
+        self._dp_shard_map = tp == 1 and (
+            config.dp_shard_map == "force"
+            or (bool(config.dp_shard_map) and self.mesh.size > 1)
+        )
+        if self.mesh.size > 1 and not self._dp_shard_map:
+            # pjit/GSPMD path: the Pallas attention kernels carry no GSPMD
+            # partitioning rules — under a globally-traced multi-device
+            # program the einsum paths shard cleanly while pallas_call would
+            # force gathers (or fail to partition) on the head-merged inputs
             W.set_flash_attention(False)
             W.set_decode_kernel("off")
         self._shard_all()
@@ -257,12 +285,19 @@ class MultiTaskTrainer:
     # --- the compiled steps --------------------------------------------------
 
     def _forward(self, trainable, audio, input_tokens, target_tokens, classes,
-                 rng, train: bool, n_valid=None):
+                 rng, train: bool, n_valid=None, shard_axis: Optional[str] = None):
         """Shared fwd: device log-mel -> encoder -> both heads -> losses.
 
         `n_valid` (traced scalar) masks dp-padding rows out of the loss
         means — the duplicated last sample used to pad a batch up to the dp
-        size must not be double-weighted in gradients."""
+        size must not be double-weighted in gradients.
+
+        `shard_axis`: when the step runs under shard_map (dp data
+        parallelism with the Pallas kernels kept live on local shapes),
+        the loss reductions here see only this shard's rows — the global
+        masked means are assembled with psums over `shard_axis`, matching
+        what GSPMD lowers the pjit path's global reductions to (local
+        partial sums + all-reduce)."""
         dims = self.model.dims
         params, cp = trainable["model"], trainable["classifier"]
         if audio.dtype == jnp.float16:
@@ -282,9 +317,17 @@ class MultiTaskTrainer:
             mels = log_mel_spectrogram_jax(audio, n_mels=dims.n_mels)
         feats = W.encoder_apply(params, dims, mels, self.compute_dtype)
 
+        b_local = audio.shape[0]
+        dropout_rows = None
+        if shard_axis is not None:
+            dp = self.mesh.shape.get("dp", 1)
+            row0 = jax.lax.axis_index(shard_axis) * b_local
+            dropout_rows = (row0, b_local * dp)
+
         pooled = feats.mean(axis=1)
         disease_logits = classifier_apply(
-            cp, pooled, dropout_rng=rng, train=train, compute_dtype=self.compute_dtype
+            cp, pooled, dropout_rng=rng, train=train,
+            compute_dtype=self.compute_dtype, dropout_rows=dropout_rows,
         )
         cls_loss, cls_per_row = cross_entropy(disease_logits, classes)
 
@@ -295,7 +338,31 @@ class MultiTaskTrainer:
             trans_logits, target_tokens
         )
 
-        if n_valid is not None:
+        if shard_axis is not None:
+            # Global masked means across shards. The psum must stay OFF the
+            # grad path: under shard_map(check_vma=False) psum transposes to
+            # psum, so differentiating through it would hand back grads that
+            # are already globally summed and the caller's explicit psum
+            # would scale them by dp. _global_sum_local_grad gives the exact
+            # psum'd VALUE (replicated) while the GRADIENT flows only through
+            # this shard's local sum — the caller's psum of the per-device
+            # partial grads then reproduces GSPMD's grad all-reduce exactly.
+            assert n_valid is not None
+            rows = row0 + jnp.arange(b_local)
+            row_mask = rows < n_valid
+            cls_sum = _global_sum_local_grad(
+                (cls_per_row * row_mask).sum(), shard_axis
+            )
+            cls_cnt = jax.lax.psum(row_mask.sum(), shard_axis)
+            cls_loss = cls_sum / jnp.maximum(cls_cnt, 1)
+            t_sum = _global_sum_local_grad(
+                jnp.where(row_mask, trans_row_sum, 0.0).sum(), shard_axis
+            )
+            t_cnt = jax.lax.psum(
+                jnp.where(row_mask, trans_row_cnt, 0).sum(), shard_axis
+            )
+            trans_loss = t_sum / jnp.maximum(t_cnt, 1)
+        elif n_valid is not None:
             row_mask = jnp.arange(audio.shape[0]) < n_valid
             cls_loss = (cls_per_row * row_mask).sum() / jnp.maximum(row_mask.sum(), 1)
             t_sum = jnp.where(row_mask, trans_row_sum, 0.0)
@@ -327,17 +394,34 @@ class MultiTaskTrainer:
             jnp.where(use_dyn, dyn_beta, beta),
         )
 
+    # aux-dict entries carrying one value per batch row (everything else in
+    # aux is a replicated scalar) — used to build shard_map out_specs
+    _AUX_ROW_KEYS = frozenset({
+        "cls_per_row", "trans_row_sum", "trans_row_count",
+        "disease_preds", "disease_probs", "pred_tokens",
+    })
+
+    def _aux_specs(self, keys, stacked: bool = False):
+        row = P(None, "dp") if stacked else P("dp")
+        return {k: (row if k in self._AUX_ROW_KEYS else P()) for k in keys}
+
+    _TRAIN_AUX_KEYS = (
+        "cls_loss", "trans_loss", "cls_per_row", "trans_row_sum",
+        "trans_row_count", "disease_preds", "disease_probs", "pred_tokens",
+        "alpha_eff", "beta_eff",
+    )
+
     def _get_train_step(self):
         if self._train_step is not None:
             return self._train_step
         optimizer = self.optimizer
 
         def step(trainable, opt_state, audio, input_tokens, target_tokens, classes,
-                 alpha, beta, rng, n_valid):
+                 alpha, beta, rng, n_valid, shard_axis=None):
             def loss_fn(tr):
                 cls_loss, trans_loss, aux = self._forward(
                     tr, audio, input_tokens, target_tokens, classes, rng,
-                    train=True, n_valid=n_valid,
+                    train=True, n_valid=n_valid, shard_axis=shard_axis,
                 )
                 a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
                 combined = a * cls_loss + b * trans_loss
@@ -345,15 +429,34 @@ class MultiTaskTrainer:
                 return combined, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+            if shard_axis is not None:
+                # per-device grads are the partial (local-data) gradients of
+                # the global loss — sum them over dp, exactly the all-reduce
+                # GSPMD inserts on the pjit path
+                grads = jax.lax.psum(grads, shard_axis)
             updates, opt_state = optimizer.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss, aux
 
-        self._train_step = jax.jit(step, donate_argnums=(0, 1))
+        if self._dp_shard_map:
+            fn = jax.shard_map(
+                partial(step, shard_axis="dp"),
+                mesh=self.mesh,
+                in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                          P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), self._aux_specs(self._TRAIN_AUX_KEYS)),
+                check_vma=False,
+            )
+            self._train_step = jax.jit(fn, donate_argnums=(0, 1))
+        else:
+            # shard_axis stays at its Python default (None) and is never
+            # passed by callers, so it is a trace-time constant under jit
+            self._train_step = jax.jit(step, donate_argnums=(0, 1))
         return self._train_step
 
     def _kstep_core(self, trainable, opt_state, audio, input_tokens,
-                    target_tokens, classes, alpha, beta, rng, n_valids):
+                    target_tokens, classes, alpha, beta, rng, n_valids,
+                    shard_axis=None):
         """k training steps via lax.scan over stacked (k, B, ...) batches.
         The carried rng chains split() exactly like the host does between
         single-step calls, so fused and single-step training are
@@ -367,7 +470,8 @@ class MultiTaskTrainer:
 
             def loss_fn(tr):
                 cls_loss, trans_loss, aux = self._forward(
-                    tr, a_i, it_i, tt_i, cl_i, sub, train=True, n_valid=nv_i
+                    tr, a_i, it_i, tt_i, cl_i, sub, train=True, n_valid=nv_i,
+                    shard_axis=shard_axis,
                 )
                 a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
                 combined = a * cls_loss + b * trans_loss
@@ -375,6 +479,8 @@ class MultiTaskTrainer:
                 return combined, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(tr)
+            if shard_axis is not None:
+                grads = jax.lax.psum(grads, shard_axis)
             updates, opt = optimizer.update(grads, opt, tr)
             tr = optax.apply_updates(tr, updates)
             return (tr, opt, rng), (loss, aux)
@@ -393,7 +499,21 @@ class MultiTaskTrainer:
         pipeline the H2D copies."""
         if k in self._train_scan_steps:
             return self._train_scan_steps[k]
-        fn = jax.jit(self._kstep_core, donate_argnums=(0, 1))
+        if self._dp_shard_map:
+            fn = jax.jit(
+                jax.shard_map(
+                    partial(self._kstep_core, shard_axis="dp"),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(None, "dp"), P(None, "dp"),
+                              P(None, "dp"), P(None, "dp"), P(), P(), P(), P()),
+                    out_specs=(P(), P(), P(), P(),
+                               self._aux_specs(self._TRAIN_AUX_KEYS, stacked=True)),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1),
+            )
+        else:
+            fn = jax.jit(self._kstep_core, donate_argnums=(0, 1))
         self._train_scan_steps[k] = fn
         return fn
 
@@ -414,7 +534,7 @@ class MultiTaskTrainer:
         # (that overhead overlaps with device compute in the deferred
         # pipeline anyway). Kept behind TrainingConfig.packed_dispatch=True
         # for directly-attached hosts where the tradeoff may differ.
-        if self.mesh.size > 1 or k_max < 1:
+        if self.mesh.size > 1 or k_max < 1 or self._dp_shard_map:
             return False
         return bool(getattr(self.config, "packed_dispatch", None))
 
@@ -503,17 +623,30 @@ class MultiTaskTrainer:
             return self._eval_step
 
         def step(trainable, audio, input_tokens, target_tokens, classes, alpha, beta,
-                 n_valid):
+                 n_valid, shard_axis=None):
             cls_loss, trans_loss, aux = self._forward(
                 trainable, audio, input_tokens, target_tokens, classes, None,
-                train=False, n_valid=n_valid,
+                train=False, n_valid=n_valid, shard_axis=shard_axis,
             )
             a, b = self._effective_weights(alpha, beta, cls_loss, trans_loss)
             combined = a * cls_loss + b * trans_loss
             aux.update({"alpha_eff": a, "beta_eff": b, "combined": combined})
             return aux
 
-        self._eval_step = jax.jit(step)
+        if self._dp_shard_map:
+            keys = self._TRAIN_AUX_KEYS + ("combined",)
+            self._eval_step = jax.jit(
+                jax.shard_map(
+                    partial(step, shard_axis="dp"),
+                    mesh=self.mesh,
+                    in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                              P(), P(), P()),
+                    out_specs=self._aux_specs(keys),
+                    check_vma=False,
+                )
+            )
+        else:
+            self._eval_step = jax.jit(step)
         return self._eval_step
 
     def _device_batch(self, batch: Dict, pad_to_multiple: Optional[int] = None):

@@ -76,6 +76,17 @@ def parse_args():
                         "handful of buffer handles instead of ~500 "
                         "(default: OFF — measured slower through the remote "
                         "tunnel, see PERF.md; bit-identical results)")
+    def shard_map_mode(v: str):
+        if v.lower() == "force":
+            return "force"
+        return strict_bool(v)
+
+    p.add_argument("--dp_shard_map", type=shard_map_mode, default=True,
+                   metavar="True/False/force",
+                   help="run dp-only training under shard_map so the Pallas "
+                        "attention kernels stay live on multi-device meshes "
+                        "(default True; False = GSPMD/pjit path with kernels "
+                        "off; 'force' = shard_map even on one device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume_dir", type=str, default=None,
                    help="directory for full-state epoch checkpoints; if it already "
@@ -108,6 +119,7 @@ def main():
         mesh_shape=(args.dp, args.tp),
         steps_per_call=args.steps_per_call,
         packed_dispatch=args.packed_dispatch,
+        dp_shard_map=args.dp_shard_map,
         seed=args.seed,
     )
 
