@@ -311,12 +311,17 @@ def encoder_apply(
     compute_dtype: jnp.dtype = jnp.float32,
     *,
     int8_linears: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """mel (B, n_mels, 3000) -> audio features (B, n_audio_ctx, D).
 
     int8_linears: run each block's six projections (QKV/out/fc1/fc2 — ~2/3 of
     encoder FLOPs) as dynamically-quantized W8A8 matmuls (`linear_i8`);
-    attention itself and the conv frontend stay in compute_dtype."""
+    attention itself and the conv frontend stay in compute_dtype.
+
+    remat: checkpoint each block (training): the backward recomputes the
+    block's activations from its (B, T, D) input instead of storing them —
+    the encoder's T=1500 activations are what blow HBM at large batch."""
     lin = linear_i8 if int8_linears else linear
     p = params["encoder"]
     # Fused Pallas W8A8 MLP (ops/int8_mlp.py): keeps the quantize/GELU/
@@ -352,7 +357,7 @@ def encoder_apply(
     if t_run != t_valid:
         x = jnp.pad(x, ((0, 0), (0, t_run - t_valid), (0, 0)))
 
-    for block in p["blocks"]:
+    def one_block(x, block):
         # self-attention
         res = x
         h = layer_norm(block["attn_ln"], x)
@@ -381,6 +386,12 @@ def encoder_apply(
         else:
             h = _gelu(lin(block["mlp"]["fc1"], h))
             x = res + lin(block["mlp"]["fc2"], h)
+        return x
+
+    if remat:
+        one_block = jax.checkpoint(one_block)
+    for block in p["blocks"]:
+        x = one_block(x, block)
 
     x = x[:, :t_valid] if t_run != t_valid else x
     return layer_norm(p["ln_post"], x)

@@ -116,6 +116,11 @@ class TrainingConfig:
     # use shard_map even on a 1-device mesh (timing validation). tp > 1
     # always takes the pjit path.
     dp_shard_map: object = True
+    # rematerialize each encoder block in the backward pass (jax.checkpoint):
+    # trades ~1/3 more encoder FLOPs for dropping the stored T=1500
+    # activations — what HBM-OOMs the fused train step at batch >= 128.
+    # "auto" (default) enables it when batch_size >= 96 on TPU.
+    remat: object = "auto"
 
 
 DISORDER_TYPE = {0: "Normal", 1: "Dysphonia", 2: "Dysarthria"}

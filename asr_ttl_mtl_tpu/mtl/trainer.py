@@ -315,7 +315,10 @@ class MultiTaskTrainer:
                     audio, ((0, 0), (0, self.config.audio_samples - audio.shape[-1]))
                 )
             mels = log_mel_spectrogram_jax(audio, n_mels=dims.n_mels)
-        feats = W.encoder_apply(params, dims, mels, self.compute_dtype)
+        feats = W.encoder_apply(
+            params, dims, mels, self.compute_dtype,
+            remat=train and self._use_remat(),
+        )
 
         b_local = audio.shape[0]
         dropout_rows = None
@@ -380,6 +383,16 @@ class MultiTaskTrainer:
             "pred_tokens": jnp.argmax(trans_logits, axis=-1),
         }
         return cls_loss, trans_loss, aux
+
+    def _use_remat(self) -> bool:
+        """Encoder-block remat policy (config.remat): "auto" enables it on
+        TPU at batch >= 96, where the stored T=1500 encoder activations
+        otherwise exceed HBM in the fused multi-step train program."""
+        mode = getattr(self.config, "remat", "auto")
+        if mode == "auto":
+            return (jax.default_backend() == "tpu"
+                    and self.config.batch_size >= 96)
+        return bool(mode)
 
     def _effective_weights(self, alpha, beta, cls_loss, trans_loss):
         """Inverse-loss-normalized weights when configured dynamic

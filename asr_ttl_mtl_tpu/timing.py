@@ -292,17 +292,23 @@ def find_alignment_batch(
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
     batch_size: Optional[int] = None,
+    use_device_dtw: Optional[bool] = None,
 ) -> List[List[WordTiming]]:
     """Batched :func:`find_alignment` over many 30 s windows at once.
 
     The expensive stages — teacher-forced encoder+decoder forward AND the
     standardize/median/head-mean alignment pipeline — run as ONE device
     program over the whole window batch (token rows padded to a static
-    bucket, per-row lengths honored by masking inside the program); the host
-    fetches only the (B, T_text, T_audio) DTW cost matrices and walks the
-    per-row DTW. Each row's result matches a single-window
-    :func:`find_alignment` call to fp32 accuracy (words identical,
-    timestamps within one DTW frame).
+    bucket, per-row lengths honored by masking inside the program). On TPU
+    (``use_device_dtw`` None/True) the per-row DTW fill runs as a batched
+    Pallas wavefront kernel and the backtrace as a vmapped while_loop in the
+    SAME dispatch chain, so only the (B, L) path index arrays cross the
+    device boundary (~90x less D2H than the cost matrices) and chunks are
+    pipelined depth-2 (chunk c's path fetch + host word assembly overlaps
+    chunk c+1's forward). Off-TPU (or on any kernel failure) the host walks
+    each row's fetched matrix as before. Each row's result matches a
+    single-window :func:`find_alignment` call to fp32 accuracy (words
+    identical, timestamps within one DTW frame).
     """
     sot_len = len(tokenizer.sot_sequence)
     rows = [
@@ -330,24 +336,12 @@ def find_alignment_batch(
     # the (chunked) decode succeeded. The last chunk pads by repeating its
     # final row, keeping a single compiled shape per bucket.
     chunk = max(1, int(batch_size)) if batch_size else len(live)
-    for c0 in range(0, len(live), chunk):
-        part = live[c0 : c0 + chunk]
-        pad = chunk - len(part) if len(live) > chunk else 0
-        idx = part + [part[-1]] * pad
-        tokens = np.full((len(idx), bucket), tokenizer.eot, np.int32)
-        for r, i in enumerate(idx):
-            tokens[r, : len(rows[i])] = rows[i]
-        matrices, picked = fwd(
-            model.params,
-            jnp.asarray(mels[idx]),
-            jnp.asarray(tokens),
-            jnp.asarray([num_frames_list[i] // 2 for i in idx], jnp.int32),
-            jnp.asarray([len(rows[i]) for i in idx], jnp.int32),
-            jnp.asarray(qk_scale, jnp.float32),
-        )
-        matrices = np.asarray(matrices, dtype=np.float64)
-        picked = np.asarray(picked)
+    if use_device_dtw is None:
+        use_device_dtw = jax.default_backend() == "tpu"
+    interpret = use_device_dtw == "interpret"  # CPU integration tests
 
+    def host_walk(part, matrices, picked):
+        matrices = np.asarray(matrices, dtype=np.float64)
         for r, i in enumerate(part):
             n_row = len(rows[i])
             n_frames = num_frames_list[i] // 2
@@ -358,6 +352,74 @@ def find_alignment_batch(
                 tokenizer, list(token_lists[i]), text_indices, time_indices,
                 token_probs,
             )
+
+    def path_walk(part, paths, picked):
+        for r, i in enumerate(part):
+            token_probs = picked[r, sot_len : sot_len + len(token_lists[i])].tolist()
+            out[i] = _word_timings_from_path(
+                tokenizer, list(token_lists[i]), paths[r][0], paths[r][1],
+                token_probs,
+            )
+
+    pending: List[tuple] = []  # (part, paths_handles|matrices, picked)
+
+    def drain_one():
+        nonlocal use_device_dtw
+        part, handles, picked = pending.pop(0)
+        picked = np.asarray(picked)
+        if handles[0] is not None:
+            from .ops.pallas_dtw import dtw_paths_collect
+
+            try:
+                path_walk(part, dtw_paths_collect(handles[0]), picked)
+                return
+            except Exception:
+                # kernel failed at run time: host-walk this chunk from the
+                # still-live matrices, and stop using the kernel
+                use_device_dtw = False
+        host_walk(part, handles[1], picked)
+
+    for c0 in range(0, len(live), chunk):
+        part = live[c0 : c0 + chunk]
+        pad = chunk - len(part) if len(live) > chunk else 0
+        idx = part + [part[-1]] * pad
+        tokens = np.full((len(idx), bucket), tokenizer.eot, np.int32)
+        for r, i in enumerate(idx):
+            tokens[r, : len(rows[i])] = rows[i]
+        frame_lens = [num_frames_list[i] // 2 for i in idx]
+        row_lens = [len(rows[i]) for i in idx]
+        matrices, picked = fwd(
+            model.params,
+            jnp.asarray(mels[idx]),
+            jnp.asarray(tokens),
+            jnp.asarray(frame_lens, jnp.int32),
+            jnp.asarray(row_lens, jnp.int32),
+            jnp.asarray(qk_scale, jnp.float32),
+        )
+        handles = (None, matrices)
+        if use_device_dtw:
+            from .ops.pallas_dtw import dtw_paths_dispatch
+
+            try:
+                # device matrices consumed in place: slice off the SOT rows
+                # and negate on device, dispatch fill+backtrace, never fetch
+                # the matrices
+                handles = (
+                    dtw_paths_dispatch(
+                        -matrices[:, sot_len:, :],
+                        [n - sot_len - 1 for n in row_lens],
+                        frame_lens,
+                        interpret=interpret,
+                    ),
+                    matrices,
+                )
+            except Exception:
+                use_device_dtw = False
+        pending.append((part, handles, picked))
+        if len(pending) >= 2:
+            drain_one()
+    while pending:
+        drain_one()
     return out
 
 

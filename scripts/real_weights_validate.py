@@ -51,6 +51,10 @@ def _checkpoint_reachable(name: str) -> bool:
         _find_cached_checkpoint,
     )
 
+    if name not in _CHECKPOINT_URLS:
+        # a local .pt path (the full pipeline can be smoke-run offline with
+        # an exported checkpoint; SHA/download checks don't apply)
+        return os.path.isfile(name)
     cache_root = os.path.join(
         os.getenv("XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")),
         "asr_ttl_mtl_tpu",
@@ -71,6 +75,13 @@ def _reference_torch_model(reference_root: str, name: str):
     """Load the reference's torch Whisper for a direct differential, or None."""
     if not os.path.isdir(reference_root):
         return None
+    import types
+
+    if "numba" not in sys.modules:  # reference timing.py imports it at scope
+        numba = types.ModuleType("numba")
+        numba.jit = lambda *a, **k: (a[0] if len(a) == 1 and callable(a[0]) and not k
+                                     else (lambda f: f))
+        sys.modules["numba"] = numba
     sys.path.insert(0, reference_root)
     try:
         import whisper as ref_whisper  # the reference's vendored package
@@ -96,6 +107,8 @@ def validate_model(name: str, reference_root: str, goldens_dir: str) -> None:
     dims = model.dims
     _log(f"{name}: download+SHA+convert", True,
          f"{sum(x.size for x in jax.tree.leaves(model.params)):,} params")
+    if os.path.isfile(name):  # local smoke checkpoint: keep goldens separate
+        name = os.path.splitext(os.path.basename(name))[0]
 
     rng = np.random.RandomState(0)
     mel = rng.randn(1, dims.n_mels, 3000).astype(np.float32) * 0.5

@@ -24,16 +24,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():
-    from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
-
     model_size = sys.argv[1] if len(sys.argv) > 1 else "tiny"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    dp_shard_map = "force" if (len(sys.argv) > 3 and sys.argv[3] == "sm") else True
+    bench_one(model_size, B, dp_shard_map=dp_shard_map)
+
+
+def bench_one(model_size: str, B: int, dp_shard_map=True, K: int = 8):
+    """Measure the fused train step at (model, batch); returns a result dict."""
+    from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
 
     config = TrainingConfig(
         model_size=model_size,
         pretrained="random",  # architecture identical to the real checkpoint
         batch_size=B,
         compute_dtype="bfloat16",
+        dp_shard_map=dp_shard_map,
         seed=0,
     )
     trainer = MultiTaskTrainer(config, verbose=False)
@@ -57,7 +63,7 @@ def main():
 
     from asr_ttl_mtl_tpu.parallel import stacked_data_sharding
 
-    K = 8  # optimizer steps per dispatch (config.steps_per_call auto on TPU)
+    # K optimizer steps per dispatch (config.steps_per_call auto on TPU)
     dev = {}
     for key_ in ("audio", "input_tokens", "target_tokens", "classes"):
         v = np.stack([batch[key_]] * K)
@@ -103,6 +109,9 @@ def main():
         )
         float(np.asarray(losses)[-1])  # force completion (async-safe timing)
     dt = (time.perf_counter() - t0) / (N * K)
+    result = {"model": model_size, "B": B, "dp_shard_map": dp_shard_map,
+              "remat": trainer._use_remat(),
+              "ms_incl_h2d": dt * 1e3, "samples_per_s": B / dt}
     print(
         f"{model_size} bs={B} (fused x{K}, incl H2D): {dt * 1e3:.1f} ms/step = {1 / dt:.2f} it/s "
         f"= {B / dt:.1f} samples/s (reference 3090: 1.8-4.2 it/s at tiny bs=16)",
@@ -126,6 +135,10 @@ def main():
         trainable, opt_state, key, losses, _ = one_call(trainable, opt_state, key)
         float(np.asarray(losses)[-1])
         dt_dev = (time.perf_counter() - t0) / K
+        result.update(ms_device=dt_dev * 1e3,
+                      gflops_per_step=flops_per_step / 1e9,
+                      mfu_pct=(flops_per_step / dt_dev) / peak * 100,
+                      mfu_incl_h2d_pct=(flops_per_step / dt) / peak * 100)
         print(
             f"  train-step FLOPs {flops_per_step / 1e9:.1f} G; device-resident "
             f"step {dt_dev * 1e3:.1f} ms -> MFU {(flops_per_step / dt_dev) / peak * 100:.1f}% "
@@ -135,6 +148,47 @@ def main():
         )
     except Exception as e:
         print(f"  (cost analysis unavailable: {e})", flush=True)
+    return result
+
+
+def sweep_mode():
+    """Training batch-scaling study: samples/s + MFU at each batch size,
+    tiny and base (PERF.md training table). Usage:
+      python scripts/tpu_train_bench.py sweep [models] [batches] [sm]
+    e.g. `sweep tiny,base 16,64,128,256`. Appending `sm` also A/Bs the
+    shard_map(dp=1) step at the first batch size (must match the plain
+    single-device step time — same program on local shapes)."""
+    models = (sys.argv[2] if len(sys.argv) > 2 else "tiny,base").split(",")
+    batches = [int(b) for b in (sys.argv[3] if len(sys.argv) > 3 else
+                                "16,64,128,256").split(",")]
+    do_sm = len(sys.argv) > 4 and sys.argv[4] == "sm"
+    rows = []
+    for m in models:
+        for B in batches:
+            try:
+                rows.append(bench_one(m, B))
+            except Exception as e:
+                print(f"{m} bs={B}: FAILED ({type(e).__name__}: {e})", flush=True)
+                rows.append({"model": m, "B": B, "error": str(e)[:200]})
+        if do_sm:
+            try:
+                rows.append(bench_one(m, batches[0], dp_shard_map="force"))
+            except Exception as e:
+                print(f"{m} bs={batches[0]} sm: FAILED ({e})", flush=True)
+
+    print("\n== batch-scaling study ==", flush=True)
+    print(f"{'model':>8} {'bs':>5} {'mode':>6} {'ms/step':>8} {'samples/s':>10} "
+          f"{'MFU%':>6}", flush=True)
+    for r in rows:
+        if "error" in r:
+            print(f"{r['model']:>8} {r['B']:>5}  ERROR: {r['error'][:60]}", flush=True)
+            continue
+        mode = "sm" if r.get("dp_shard_map") == "force" else "pjit1"
+        print(f"{r['model']:>8} {r['B']:>5} {mode:>6} "
+              f"{r.get('ms_device', r['ms_incl_h2d']):>8.1f} "
+              f"{r['samples_per_s']:>10.1f} {r.get('mfu_pct', 0):>6.2f}", flush=True)
+    import json
+    print(json.dumps(rows), flush=True)
 
 
 def epoch_mode():
@@ -206,5 +260,7 @@ def epoch_mode():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "epoch":
         epoch_mode()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_mode()
     else:
         main()

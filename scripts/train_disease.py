@@ -91,6 +91,12 @@ def parse_args():
     p.add_argument("--resume_dir", type=str, default=None,
                    help="directory for full-state epoch checkpoints; if it already "
                         "holds a state, training resumes from it")
+    p.add_argument("--debug_dims", type=str, default=None, metavar="JSON",
+                   help="ModelDimensions overrides as a JSON dict (pairs with "
+                        "--pretrained random; scaled-down smoke runs)")
+    p.add_argument("--audio_samples", type=int, default=480000,
+                   help="samples per training window (pairs with --debug_dims "
+                        "whose n_audio_ctx = audio_samples / 320)")
     return p.parse_args()
 
 
@@ -121,6 +127,8 @@ def main():
         packed_dispatch=args.packed_dispatch,
         dp_shard_map=args.dp_shard_map,
         seed=args.seed,
+        debug_dims=json.loads(args.debug_dims) if args.debug_dims else None,
+        audio_samples=args.audio_samples,
     )
 
     os.makedirs(args.save_dir, exist_ok=True)

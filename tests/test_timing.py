@@ -156,3 +156,50 @@ def test_add_word_timestamps_parity(models):
             np.testing.assert_allclose(wo["end"], wr["end"], atol=0.03)
         np.testing.assert_allclose(so["start"], sr["start"], atol=0.03)
         np.testing.assert_allclose(so["end"], sr["end"], atol=0.03)
+
+
+def test_find_alignment_batch_device_dtw_matches_host(models):
+    """The batched Pallas DTW + on-device backtrace path (interpret mode on
+    CPU) must produce WordTimings identical to the host matrix-walk path —
+    same words, same DTW frames, same probabilities."""
+    _, our_model = models
+    tok = get_tokenizer(False)
+    rng = np.random.RandomState(11)
+    texts = [" hello there how are you", " the quick brown fox", " hi"]
+    token_lists = [tok.encode(t) for t in texts] + [[]]
+    mels = (rng.randn(4, DIMS.n_mels, DIMS.n_audio_ctx * 2) * 0.4).astype(np.float32)
+    frames = [160, 192, 100, 120]
+
+    host = T.find_alignment_batch(
+        our_model, tok, token_lists, mels, frames, use_device_dtw=False)
+    dev = T.find_alignment_batch(
+        our_model, tok, token_lists, mels, frames, use_device_dtw="interpret")
+    # chunked fan-out takes the same pipelined path
+    dev_chunked = T.find_alignment_batch(
+        our_model, tok, token_lists, mels, frames, use_device_dtw="interpret",
+        batch_size=2)
+
+    assert dev[3] == [] and host[3] == []
+    for variant in (dev, dev_chunked):
+        for h_row, d_row in zip(host, variant):
+            assert len(h_row) == len(d_row)
+            for h, d in zip(h_row, d_row):
+                assert h.word == d.word and h.tokens == d.tokens
+                assert h.start == d.start and h.end == d.end
+                np.testing.assert_allclose(h.probability, d.probability, rtol=1e-6)
+
+
+def test_dtw_paths_batch_interpret_parity():
+    """Batched kernel + device backtrace vs per-row host wavefront+backtrace
+    on random cost matrices with ragged (n, m)."""
+    from asr_ttl_mtl_tpu.ops.dtw import backtrace, dtw_wavefront_numpy
+    from asr_ttl_mtl_tpu.ops.pallas_dtw import dtw_paths_batch
+
+    rng = np.random.RandomState(0)
+    ns, ms = [37, 12, 1, 30, 7], [143, 77, 50, 1, 143]
+    x = rng.randn(5, max(ns), max(ms)).astype(np.float32)
+    paths = dtw_paths_batch(x, ns, ms, interpret=True)
+    for b, (ti, tj) in enumerate(paths):
+        ref = backtrace(dtw_wavefront_numpy(x[b, : ns[b], : ms[b]].astype(np.float64)))
+        np.testing.assert_array_equal(ref[0], ti)
+        np.testing.assert_array_equal(ref[1], tj)
