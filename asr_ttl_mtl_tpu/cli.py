@@ -17,9 +17,10 @@ from .utils import optional_float, optional_int, str2bool
 from .utils.writers import get_writer
 
 
-def cli():
-    from .models import available_models, load_model
-    from .transcribe import transcribe
+def build_parser() -> argparse.ArgumentParser:
+    """The full transcription flag surface (reference transcribe.py:517-620),
+    exposed separately from cli() so the arg surface is testable."""
+    from .models import available_models
 
     def valid_model_name(name):
         if name in available_models() or os.path.exists(name):
@@ -75,8 +76,14 @@ def cli():
     parser.add_argument("--hallucination_silence_threshold", type=optional_float, help="(requires --word_timestamps) skip silent periods longer than this (s) when a possible hallucination is detected")
     parser.add_argument("--threads", type=optional_int, default=0, help="number of CPU threads used for host-side compute (reference transcribe.py:564 exposes the same flag for torch)")
     # fmt: on
+    return parser
 
-    args = parser.parse_args().__dict__
+
+def cli():
+    from .models import load_model
+    from .transcribe import transcribe
+
+    args = build_parser().parse_args().__dict__
     model_name: str = args.pop("model")
     model_dir: str = args.pop("model_dir")
     output_dir: str = args.pop("output_dir")

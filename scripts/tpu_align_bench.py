@@ -49,11 +49,29 @@ def main():
     frames = [3000] * n_windows
 
     # --- batched: warm then time ------------------------------------------
+    # device DTW (Pallas fill + on-device backtrace; the default on TPU)
+    # vs the host matrix-walk path, both over the same batched forward
     run_b = lambda: timing.find_alignment_batch(model, tok, token_lists, mels, frames)
     run_b()
     t0 = time.perf_counter()
     out_b = run_b()
     batched_s = time.perf_counter() - t0
+
+    run_h = lambda: timing.find_alignment_batch(
+        model, tok, token_lists, mels, frames, use_device_dtw=False)
+    run_h()
+    t0 = time.perf_counter()
+    out_h = run_h()
+    host_dtw_s = time.perf_counter() - t0
+    same = all(
+        [w.word for w in b] == [w.word for w in h]
+        and all(wb.start == wh.start and wb.end == wh.end
+                for wb, wh in zip(b, h))
+        for b, h in zip(out_b, out_h)
+    )
+    print(f"batched device-DTW {batched_s*1e3:.0f} ms vs host-DTW "
+          f"{host_dtw_s*1e3:.0f} ms ({host_dtw_s/batched_s:.1f}x); "
+          f"words+times identical: {same}")
 
     # --- sequential: warm one window then time all ------------------------
     timing.find_alignment(model, tok, token_lists[0], jnp.asarray(mels[0]), frames[0])

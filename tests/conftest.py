@@ -68,3 +68,50 @@ def import_reference_whisper():
     import whisper  # noqa: F401
 
     return whisper
+
+
+# ---------------------------------------------------------------------------
+# test tiers (pytest.ini markers)
+#
+# `-m quick`: a <5-minute smoke set covering every package top-level —
+# whole fast modules below, plus tests/test_quick_smoke.py which holds one
+# tiny-dims test per subsystem whose full module is too heavy for the tier.
+# `-m "not heavy"` skips the multi-minute mesh/fuzz/convergence suites.
+# ---------------------------------------------------------------------------
+
+_QUICK_MODULES = {
+    "test_quick_smoke",
+    "test_tokenizer",
+    "test_normalizers",
+    "test_audio",
+    "test_timing",
+    "test_decoding_options",
+    "test_native_runtime",
+    "test_profiling",
+    "test_pallas_dtw",
+    "test_pallas_median",
+    "test_review_fixes",
+}
+
+_HEAVY_MODULES = {
+    "test_mtl_convergence",
+    "test_parallel",
+    "test_parallel_hardening",
+    "test_dp_shard_map",
+    "test_decoding_fuzz",
+    "test_transcribe_fuzz",
+    "test_tokenizer_sweep",
+    "test_mtl",
+    "test_scripts",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        mod = item.module.__name__
+        if mod in _QUICK_MODULES:
+            item.add_marker(_pytest.mark.quick)
+        if mod in _HEAVY_MODULES:
+            item.add_marker(_pytest.mark.heavy)
