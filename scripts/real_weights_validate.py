@@ -107,6 +107,7 @@ def validate_model(name: str, reference_root: str, goldens_dir: str) -> None:
     dims = model.dims
     _log(f"{name}: download+SHA+convert", True,
          f"{sum(x.size for x in jax.tree.leaves(model.params)):,} params")
+    ref_name = name  # the reference's load_model also takes .pt paths
     if os.path.isfile(name):  # local smoke checkpoint: keep goldens separate
         name = os.path.splitext(os.path.basename(name))[0]
 
@@ -118,7 +119,7 @@ def validate_model(name: str, reference_root: str, goldens_dir: str) -> None:
                                        jnp.float32))
     logits = np.asarray(model.logits(jnp.asarray(tokens), jnp.asarray(feats)))
 
-    ref_model = _reference_torch_model(reference_root, name)
+    ref_model = _reference_torch_model(reference_root, ref_name)
     if ref_model is not None:
         import torch
 
@@ -206,7 +207,16 @@ def main(argv=None) -> int:
     ap.add_argument("--goldens-dir",
                     default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                          ".real_goldens"))
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="pin the jax platform BEFORE backend init (the env "
+                         "var alone does not override the container's axon "
+                         "default; 'cpu' lets this run while another process "
+                         "owns the TPU)")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     models = args.models or (["tiny.en", "base.en"] if args.en else ["tiny", "base"])
 
     reachable = [m for m in models if _checkpoint_reachable(m)]

@@ -2,7 +2,7 @@
 jax.profiler trace — isolates device compute from tunnel H2D/dispatch cost
 (dev tool).
 
-Usage: python scripts/tpu_trainstep_profile.py [model_size]
+Usage: python scripts/tpu_trainstep_profile.py [model_size] [batch]
 """
 
 import glob
@@ -31,7 +31,8 @@ def main():
     from asr_ttl_mtl_tpu.parallel.mesh import data_sharding
 
     model_size = sys.argv[1] if len(sys.argv) > 1 else "tiny"
-    B, T = 16, 48
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    T = 48
     config = TrainingConfig(
         model_size=model_size, pretrained="random", compute_dtype="bfloat16",
         batch_size=B,
