@@ -386,12 +386,17 @@ class MultiTaskTrainer:
 
     def _use_remat(self) -> bool:
         """Encoder-block remat policy (config.remat): "auto" enables it on
-        TPU at batch >= 96, where the stored T=1500 encoder activations
-        otherwise exceed HBM in the fused multi-step train program."""
+        TPU when the stored encoder activations would approach HBM capacity
+        in the fused multi-step train program. Measured OOM boundary on the
+        16 GB v5e: tiny (d=384, 4L) bs=128 and base (d=512, 6L) bs=64 both
+        exceed HBM without remat; tiny bs=64 and base bs=16 fit — the
+        product B*d*layers separates them cleanly."""
         mode = getattr(self.config, "remat", "auto")
         if mode == "auto":
+            d = self.model.dims.n_audio_state
+            layers = self.model.dims.n_audio_layer
             return (jax.default_backend() == "tpu"
-                    and self.config.batch_size >= 96)
+                    and self.config.batch_size * d * layers >= 190_000)
         return bool(mode)
 
     def _effective_weights(self, alpha, beta, cls_loss, trans_loss):

@@ -329,7 +329,8 @@ def find_alignment_batch(
         model.dims, head_pairs, jnp.dtype(model.compute_dtype).name, bucket,
         tokenizer.eot, medfilt_width,
     )
-    mels = np.asarray(mels)
+    if not isinstance(mels, jnp.ndarray):
+        mels = np.asarray(mels)  # device arrays stay resident (device gather)
     # chunk the fan-out: each window's cross-QK intermediate inside the
     # program is (layers, heads, bucket, T_audio) fp32 — tens of MB at base —
     # so aligning hundreds of windows in ONE program exhausts HBM even though
@@ -390,7 +391,7 @@ def find_alignment_batch(
         row_lens = [len(rows[i]) for i in idx]
         matrices, picked = fwd(
             model.params,
-            jnp.asarray(mels[idx]),
+            jnp.asarray(mels[np.asarray(idx)]),
             jnp.asarray(tokens),
             jnp.asarray(frame_lens, jnp.int32),
             jnp.asarray(row_lens, jnp.int32),

@@ -20,10 +20,13 @@ throughput-oriented batch transcription of many files, see
 
 from __future__ import annotations
 
+import os
 import warnings
 from dataclasses import dataclass
+from functools import partial
 from typing import TYPE_CHECKING, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import tqdm
@@ -497,12 +500,15 @@ def transcribe(
 
 @dataclass
 class _Window:
-    """One 30 s mel slice of one input, plus where it came from."""
+    """One 30 s mel slice of one input, plus where it came from.
+
+    `mel` is a host array on the host collection path, or None on the
+    device-resident path (the window then lives at `_WindowStore` slot k)."""
 
     input_idx: int
     seek: int
     size: int  # un-padded frame count
-    mel: np.ndarray
+    mel: Optional[np.ndarray]
 
 
 def _collect_windows(
@@ -522,6 +528,119 @@ def _collect_windows(
     return windows
 
 
+# --- device-resident windows -------------------------------------------------
+# Through a remote-attached chip the host collection path moves every mel
+# THREE times (audio up, full-file mel down, window batches up again:
+# ~3.8 MB of tunnel traffic per 30 s window). The device-resident path
+# uploads each file's (host-bucket-padded) waveform once, computes the mel
+# and cuts windows on device, and batches windows into (program_b, n_mels,
+# 3000) chunk buffers that feed the decode programs directly — mels never
+# cross the device boundary. Values are bit-identical to the host path: the
+# same mel program produces them, windows are the same slices, and the tail
+# mask writes the same zeros pad_or_trim does.
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_window(buf, win, slot):
+    return jax.lax.dynamic_update_slice(buf, win[None], (slot, 0, 0))
+
+
+@jax.jit
+def _read_window(buf, slot):
+    return jax.lax.dynamic_slice(
+        buf, (slot, 0, 0), (1, buf.shape[1], buf.shape[2])
+    )[0]
+
+
+@jax.jit
+def _cut_window(mel, seek, size):
+    win = jax.lax.dynamic_slice(mel, (0, seek), (mel.shape[0], N_FRAMES))
+    return jnp.where(jnp.arange(N_FRAMES)[None, :] < size, win, 0.0)
+
+
+class _WindowStore:
+    """Windows resident on device as a list of (program_b, n_mels, N_FRAMES)
+    chunk buffers; window k lives at buffer k//program_b, slot k%program_b."""
+
+    def __init__(self, program_b: int, n_mels: int):
+        self.program_b = program_b
+        self.n_mels = n_mels
+        self.buffers: List[jnp.ndarray] = []
+        self.count = 0
+
+    def append(self, win: jnp.ndarray) -> None:
+        slot = self.count % self.program_b
+        if slot == 0:
+            self.buffers.append(
+                jnp.zeros((self.program_b, self.n_mels, N_FRAMES), jnp.float32)
+            )
+        self.buffers[-1] = _write_window(self.buffers[-1], win, np.int32(slot))
+        self.count += 1
+
+    def chunk(self, start: int) -> jnp.ndarray:
+        """The whole buffer holding windows [start, start+program_b) — valid
+        only when start is chunk-aligned (the rung-0 fast path)."""
+        assert start % self.program_b == 0
+        return self.buffers[start // self.program_b]
+
+    def gather(self, indices: List[int], pad_to: Optional[int] = None) -> jnp.ndarray:
+        """Arbitrary-subset chunk (ladder retries, language regrouping,
+        alignment): one (1, n_mels, N_FRAMES) slice+write pair per window —
+        a handful of cached programs, dispatch cost only. Slots beyond
+        len(indices) (up to `pad_to`) stay zero, matching the host path's
+        zero-padded partial chunks."""
+        out = jnp.zeros((pad_to or len(indices), self.n_mels, N_FRAMES), jnp.float32)
+        for slot, k in enumerate(indices):
+            win = _read_window(self.buffers[k // self.program_b],
+                               np.int32(k % self.program_b))
+            out = _write_window(out, win, np.int32(slot))
+        return out
+
+
+def _cut_window_dev(mel: jnp.ndarray, seek, size) -> jnp.ndarray:
+    """(n_mels, F) bucketed device mel -> one (n_mels, N_FRAMES) window with
+    the tail beyond `size` zeroed (what pad_or_trim writes on host)."""
+    return _cut_window(mel, np.int32(seek), np.int32(size))
+
+
+def _decode_audios(model, audios) -> Tuple[list, int]:
+    """Host audio decode + window-count precount for the device path.
+    Returns ([(waveform, bucket_samples, content_frames)], total_windows)."""
+    from .audio import load_audio
+
+    decoded = []
+    total_windows = 0
+    for audio in audios:
+        if isinstance(audio, str):
+            audio = load_audio(audio)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        total = audio.shape[-1] + N_SAMPLES
+        bucket = -(-total // N_SAMPLES) * N_SAMPLES
+        content = max(total // HOP_LENGTH - N_FRAMES, 1)
+        decoded.append((audio, bucket, content))
+        total_windows += -(-content // N_FRAMES)
+    return decoded, total_windows
+
+
+def _fill_window_store(model, decoded, store: "_WindowStore") -> List[_Window]:
+    windows: List[_Window] = []
+    n_mels = model.dims.n_mels
+    for idx, (audio, bucket, content_frames) in enumerate(decoded):
+        # host-pad the waveform to the 30 s bucket so every device program
+        # compiles per BUCKET, not per file length; mel of explicit zeros is
+        # identical to the padding argument's zeros (audio.log_mel_spectrogram)
+        padded = np.zeros(bucket - N_SAMPLES, np.float32)
+        padded[: audio.shape[-1]] = audio
+        mel = log_mel_spectrogram(jnp.asarray(padded), n_mels, padding=N_SAMPLES)
+        seek = 0
+        while seek < content_frames:
+            size = max(1, min(N_FRAMES, content_frames - seek))
+            store.append(_cut_window_dev(mel, seek, size))
+            windows.append(_Window(idx, seek, size, None))
+            seek += size
+    return windows
+
+
 def transcribe_batch(
     model: "WhisperModel",
     audios: List[Union[str, np.ndarray]],
@@ -537,6 +656,7 @@ def transcribe_batch(
     word_timestamps: bool = False,
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    device_windows: Optional[bool] = None,
     **decode_options,
 ) -> List[dict]:
     """Throughput-oriented batched transcription (TPU-native addition).
@@ -570,10 +690,39 @@ def transcribe_batch(
     With `mesh` (a jax.sharding.Mesh with a 'dp' axis), window batches are
     decoded data-parallel across the mesh via parallel.serving — the
     multi-chip serving path; results are identical to single-device.
+
+    ``device_windows`` (None = auto: TPU backend, single device, whole-file
+    windowing): keep the window mels RESIDENT ON DEVICE — each file's
+    waveform uploads once, the mel frontend and window cutting run on
+    device, and decode/alignment programs read the windows in place. Through
+    a remote-attached chip this removes ~3/4 of the tunnel traffic (the
+    full-file mel fetch and the window-batch re-upload). Outputs are
+    bit-identical to the host path. Falls back to host windows above
+    $ASRMTL_DEVICE_WINDOWS_CAP windows (default 2048, ~2 GB HBM).
     """
     from .decoding import DecodingTask
 
-    windows = _collect_windows(model, audios, clip_timestamps)
+    use_dev_windows = device_windows
+    if use_dev_windows is None:
+        use_dev_windows = (
+            jax.default_backend() == "tpu" and mesh is None
+            and clip_timestamps == "0"
+        )
+    elif use_dev_windows and (mesh is not None or clip_timestamps != "0"):
+        use_dev_windows = False
+
+    store = None
+    if use_dev_windows:
+        decoded, total_windows = _decode_audios(model, audios)
+        cap = int(os.environ.get("ASRMTL_DEVICE_WINDOWS_CAP", "2048"))
+        if 0 < total_windows <= cap:
+            store = _WindowStore(min(batch_size, total_windows), model.dims.n_mels)
+            windows = _fill_window_store(model, decoded, store)
+        else:
+            windows = _collect_windows(model, [d[0] for d in decoded],
+                                       clip_timestamps)
+    else:
+        windows = _collect_windows(model, audios, clip_timestamps)
     if not windows:
         return [dict(text="", segments=[], language=decode_options.get("language"))
                 for _ in audios]
@@ -589,23 +738,37 @@ def transcribe_batch(
         first_win = {}
         for k, w in enumerate(windows):
             first_win.setdefault(w.input_idx, k)
-        det_mels = []
-        for i in range(len(audios)):
-            if i in first_win:
-                det_mels.append(windows[first_win[i]].mel)
-            else:
-                # input whose clip_timestamps excluded every window: the
-                # reference still detects on the file's first 30 s
-                mel = np.asarray(
-                    log_mel_spectrogram(audios[i], model.dims.n_mels,
-                                        padding=N_SAMPLES))
-                det_mels.append(np.asarray(
-                    pad_or_trim(mel[:, :N_FRAMES], N_FRAMES, axis=-1),
-                    np.float32))
+        lang_of_input = {}
+        if store is not None:
+            # clip_timestamps == "0" here, so every input has a first window
+            # in the store — gather them on device, never fetch the mels
+            firsts = [first_win[i] for i in range(len(audios))]
+            det_b = min(batch_size, len(firsts))
+            for c0 in range(0, len(firsts), det_b):
+                part = firsts[c0 : c0 + det_b]
+                pad = det_b - len(part) if len(firsts) > det_b else 0
+                _, probs = model.detect_language(
+                    store.gather(part + [part[-1]] * pad))
+                for off, p in enumerate(probs[: len(part)]):
+                    lang_of_input[c0 + off] = max(p, key=p.get)
+            det_mels = []
+        else:
+            det_mels = []
+            for i in range(len(audios)):
+                if i in first_win:
+                    det_mels.append(windows[first_win[i]].mel)
+                else:
+                    # input whose clip_timestamps excluded every window: the
+                    # reference still detects on the file's first 30 s
+                    mel = np.asarray(
+                        log_mel_spectrogram(audios[i], model.dims.n_mels,
+                                            padding=N_SAMPLES))
+                    det_mels.append(np.asarray(
+                        pad_or_trim(mel[:, :N_FRAMES], N_FRAMES, axis=-1),
+                        np.float32))
         # chunk + pad to ONE program shape: detect_language compiles per
         # batch shape, and fresh shapes cost minutes over a remote chip
-        lang_of_input = {}
-        det_b = min(batch_size, len(det_mels))
+        det_b = min(batch_size, len(det_mels)) if det_mels else 1
         for c0 in range(0, len(det_mels), det_b):
             part = det_mels[c0 : c0 + det_b]
             pad = det_b - len(part) if len(det_mels) > det_b else 0
@@ -655,9 +818,21 @@ def transcribe_batch(
         program_b = min(batch_size, len(windows))
         for i in range(0, len(indices), program_b):
             group = indices[i : i + program_b]
-            chunk = [windows[k].mel for k in group]
-            if len(chunk) < program_b:
-                chunk += [np.zeros_like(chunk[0])] * (program_b - len(chunk))
+            if store is not None:
+                if len(group) == program_b and group == list(
+                    range(group[0], group[0] + program_b)
+                ) and group[0] % program_b == 0:
+                    # rung-0 fast path: the chunk IS a store buffer
+                    chunk_dev = store.chunk(group[0])
+                else:
+                    # ladder retries / language regrouping: device gather,
+                    # unfilled slots stay zero (= the host path's zero pad)
+                    chunk_dev = store.gather(group, pad_to=program_b)
+            else:
+                chunk = [windows[k].mel for k in group]
+                if len(chunk) < program_b:
+                    chunk += [np.zeros_like(chunk[0])] * (program_b - len(chunk))
+                chunk_dev = None
             # depth-2 dispatch pipeline (single device AND mesh): the next
             # chunk's device work overlaps this chunk's fetch + host assembly
             if mesh is not None:
@@ -666,9 +841,8 @@ def transcribe_batch(
                 )
                 pending.append((group, collect_batched_dp, handle))
             else:
-                pending.append(
-                    (group, task.collect, task.submit(jnp.asarray(np.stack(chunk))))
-                )
+                mels_in = chunk_dev if chunk_dev is not None else jnp.asarray(np.stack(chunk))
+                pending.append((group, task.collect, task.submit(mels_in)))
             if len(pending) >= 2:
                 drain_one()
         while pending:
@@ -731,11 +905,15 @@ def transcribe_batch(
                  if t < tokenizer.eot]
                 for k in lang_indices
             ]
+            mels_group = (
+                store.gather(lang_indices) if store is not None
+                else np.stack([windows[k].mel for k in lang_indices])
+            )
             alignments = find_alignment_batch(
                 model,
                 tokenizer,
                 token_lists,
-                np.stack([windows[k].mel for k in lang_indices]),
+                mels_group,
                 [windows[k].size for k in lang_indices],
                 batch_size=batch_size,
             )

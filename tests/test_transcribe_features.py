@@ -517,3 +517,37 @@ def test_batch_word_timestamps_match_sequential(batch_model, short_waves):
                 assert abs(wo["start"] - ws["start"]) <= 0.021, (wo, ws)
                 assert abs(wo["end"] - ws["end"]) <= 0.021, (wo, ws)
                 assert abs(wo["probability"] - ws["probability"]) < 1e-4
+
+
+def test_device_windows_match_host_windows(batch_model, short_waves, long_wave):
+    """The device-resident window path (upload audio once; mel + window
+    cutting + chunk assembly on device) must be BIT-identical to the host
+    collection path — same segments, words, and everything in the result
+    dicts. Mixes single-window clips with a multi-window file so both the
+    chunk fast path and the partial tail window are exercised."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    model = batch_model
+    inputs = list(short_waves[:2]) + [long_wave]
+    kwargs = dict(
+        without_timestamps=True, sample_len=8, fp16=False,
+        temperature=(0.0, 0.5), language="en", word_timestamps=True,
+        suppress_tokens=_SUPPRESS, batch_size=3,
+    )
+    host = transcribe_batch(model, inputs, device_windows=False, **kwargs)
+    dev = transcribe_batch(model, inputs, device_windows=True, **kwargs)
+    assert host == dev
+
+
+def test_device_windows_language_detection_matches(multi_models, short_waves):
+    """Per-input language detection over device-gathered first windows."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    _, model = multi_models
+    kwargs = dict(without_timestamps=True, sample_len=4, fp16=False,
+                  temperature=0.0, language=None, no_speech_threshold=None,
+                  suppress_tokens=_SUPPRESS, batch_size=2)
+    host = transcribe_batch(model, short_waves[:3], device_windows=False, **kwargs)
+    dev = transcribe_batch(model, short_waves[:3], device_windows=True, **kwargs)
+    assert [r["language"] for r in host] == [r["language"] for r in dev]
+    assert host == dev
