@@ -104,14 +104,20 @@ def main():
     T.transcribe_batch(model, paths[:2], **kwargs)
     print(f"warmup (2 files): {time.perf_counter() - t0:.1f} s", flush=True)
 
-    for run in range(2):
+    results_by_mode = {}
+    for mode, dev_win in (("host-windows", False), ("device-windows", True),
+                          ("device-windows", True)):
         t0 = time.perf_counter()
-        results = T.transcribe_batch(model, paths, **kwargs)
+        results = T.transcribe_batch(model, paths, device_windows=dev_win, **kwargs)
         dt = time.perf_counter() - t0
         n_seg = sum(len(r["segments"]) for r in results)
-        print(f"e2e run {run}: {dt:.2f} s = {total_audio_s / dt:.1f} audio-s/s "
+        print(f"e2e {mode}: {dt:.2f} s = {total_audio_s / dt:.1f} audio-s/s "
               f"({n_seg} segments, {n_win} windows, "
               f"{dt / n_win * 1e3:.1f} ms/window incl everything)", flush=True)
+        results_by_mode[mode] = (dt, results)
+    same = results_by_mode["host-windows"][1] == results_by_mode["device-windows"][1]
+    print(f"host vs device window results identical: {same}", flush=True)
+    dt = results_by_mode["device-windows"][0]
 
     import json
     print(json.dumps({
