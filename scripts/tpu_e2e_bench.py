@@ -62,8 +62,12 @@ def make_corpus(root: str, n_files: int, seconds: float) -> list:
 
 
 def main():
+    import importlib
+
     from asr_ttl_mtl_tpu.models import from_random
-    from asr_ttl_mtl_tpu import transcribe as T
+
+    # the package exports transcribe() the FUNCTION at top level; get the module
+    T = importlib.import_module("asr_ttl_mtl_tpu.transcribe")
 
     model_size = sys.argv[1] if len(sys.argv) > 1 else "base"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 80

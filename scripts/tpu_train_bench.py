@@ -3,7 +3,12 @@
 fp32). Full-size model, synthetic audio (input pipeline excluded — this
 measures the train step; the C++ batch loader runs at >100 files/s/thread).
 
-Usage: python scripts/tpu_train_bench.py [model_size] [batch]
+Usage:
+  python scripts/tpu_train_bench.py [model_size] [batch] [sm]   # one point
+  python scripts/tpu_train_bench.py sweep [models] [batches] [sm]
+      # batch-scaling study, e.g. `sweep tiny,base 16,64,128,256 sm`
+      # (`sm` also A/Bs the shard_map(dp=1) step at the first batch size)
+  python scripts/tpu_train_bench.py epoch [model] [clip_s] [transfer] [k] [packed]
 """
 
 import os

@@ -87,6 +87,32 @@ def main():
     tot = sum(float(r[i["total_self_time"]] or 0) for r in rows)
     rows.sort(key=lambda r: -float(r[i["total_self_time"]] or 0))
     print(f"train step device self time: {tot/1e3:.1f} ms over {len(rows)} ops")
+
+    # category rollup — the long tail of small ops is where a low-MFU step
+    # hides (per-leaf optimizer chains, layernorms, format copies)
+    cats = {}
+    for r in rows:
+        c = str(r[i["category"]])
+        st = float(r[i["total_self_time"]] or 0)
+        n, s = cats.get(c, (0, 0.0))
+        cats[c] = (n + 1, s + st)
+    for c, (n, s) in sorted(cats.items(), key=lambda kv: -kv[1][1]):
+        print(f"  {s/1e3:7.2f}ms {100*s/tot:5.1f}% {n:5d} ops  {c}")
+
+    # name-level rollup of everything OUTSIDE the model's custom calls:
+    # group by the leading op name before any digit suffix
+    import re as _re
+
+    groups = {}
+    for r in rows:
+        name = str(r[i["hlo_op_name"]])
+        key = _re.split(r"[.\d]", name, 1)[0]
+        st = float(r[i["total_self_time"]] or 0)
+        n, s = groups.get(key, (0, 0.0))
+        groups[key] = (n + 1, s + st)
+    print("top op-name groups:")
+    for k, (n, s) in sorted(groups.items(), key=lambda kv: -kv[1][1])[:12]:
+        print(f"  {s/1e3:7.2f}ms {100*s/tot:5.1f}% {n:5d} ops  {k}")
     for r in rows[:15]:
         st = float(r[i["total_self_time"]])
         print(
