@@ -123,6 +123,21 @@ def main():
     print(f"host vs device window results identical: {same}", flush=True)
     dt = results_by_mode["device-windows"][0]
 
+    # single-rung ceiling: random weights + noise fail the quality gates on
+    # most windows, so the runs above pay the full 6-rung ladder — the
+    # worst case. Clean speech on trained weights passes rung 0; this
+    # variant (gates off, one temperature) is that behavior's e2e number.
+    kwargs_1rung = {**kwargs, "temperature": 0.0,
+                    "compression_ratio_threshold": None,
+                    "logprob_threshold": None, "no_speech_threshold": None}
+    T.transcribe_batch(model, paths[:2], **kwargs_1rung)  # compile
+    t0 = time.perf_counter()
+    results1 = T.transcribe_batch(model, paths, **kwargs_1rung)
+    dt1 = time.perf_counter() - t0
+    print(f"e2e single-rung (clean-speech ceiling): {dt1:.2f} s = "
+          f"{total_audio_s / dt1:.1f} audio-s/s "
+          f"({sum(len(r['segments']) for r in results1)} segments)", flush=True)
+
     import json
     print(json.dumps({
         "metric": "e2e_file_transcribe_throughput",
