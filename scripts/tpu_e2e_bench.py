@@ -138,6 +138,22 @@ def main():
           f"{total_audio_s / dt1:.1f} audio-s/s "
           f"({sum(len(r['segments']) for r in results1)} segments)", flush=True)
 
+    # and with the headline bench's exact decode knobs (no timestamp rules,
+    # int8 KV + int8 encoder) so the remaining gap to bench.py's
+    # window-decode number is purely the file/segment pipeline
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    kwargs_hl = {**kwargs_1rung, "without_timestamps": True,
+                 "kv_quant": on_tpu, "int8_encoder": on_tpu}
+    if not words:
+        T.transcribe_batch(model, paths[:2], **kwargs_hl)
+        t0 = time.perf_counter()
+        T.transcribe_batch(model, paths, **kwargs_hl)
+        dt2 = time.perf_counter() - t0
+        print(f"e2e single-rung + headline decode knobs: {dt2:.2f} s = "
+              f"{total_audio_s / dt2:.1f} audio-s/s", flush=True)
+
     import json
     print(json.dumps({
         "metric": "e2e_file_transcribe_throughput",
