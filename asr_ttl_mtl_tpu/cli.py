@@ -83,7 +83,8 @@ def cli():
     from .models import load_model
     from .transcribe import transcribe
 
-    args = build_parser().parse_args().__dict__
+    parser = build_parser()
+    args = parser.parse_args().__dict__
     model_name: str = args.pop("model")
     model_dir: str = args.pop("model_dir")
     output_dir: str = args.pop("output_dir")
