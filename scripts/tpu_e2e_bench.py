@@ -127,10 +127,12 @@ def main():
     # most windows, so the runs above pay the full 6-rung ladder — the
     # worst case. Clean speech on trained weights passes rung 0; this
     # variant (gates off, one temperature) is that behavior's e2e number.
+    # NOTE: warmups must run at the FULL path set — a 2-file warmup compiles
+    # an 8-window program, not the program_b=batch one the timed run uses
     kwargs_1rung = {**kwargs, "temperature": 0.0,
                     "compression_ratio_threshold": None,
                     "logprob_threshold": None, "no_speech_threshold": None}
-    T.transcribe_batch(model, paths[:2], **kwargs_1rung)  # compile
+    T.transcribe_batch(model, paths, **kwargs_1rung)  # compile at full shape
     t0 = time.perf_counter()
     results1 = T.transcribe_batch(model, paths, **kwargs_1rung)
     dt1 = time.perf_counter() - t0
@@ -147,7 +149,7 @@ def main():
     kwargs_hl = {**kwargs_1rung, "without_timestamps": True,
                  "kv_quant": on_tpu, "int8_encoder": on_tpu}
     if not words:
-        T.transcribe_batch(model, paths[:2], **kwargs_hl)
+        T.transcribe_batch(model, paths, **kwargs_hl)  # compile at full shape
         t0 = time.perf_counter()
         T.transcribe_batch(model, paths, **kwargs_hl)
         dt2 = time.perf_counter() - t0
