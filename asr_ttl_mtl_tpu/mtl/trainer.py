@@ -184,6 +184,13 @@ class MultiTaskTrainer:
             # force gathers (or fail to partition) on the head-merged inputs
             W.set_flash_attention(False)
             W.set_decode_kernel("off")
+        elif self._dp_shard_map:
+            # A pjit-path trainer constructed earlier in this process left the
+            # module-global kernel switches off; the shard_map path traces
+            # per-device programs where the Pallas kernels are live — restore
+            # them so this trainer doesn't silently run the einsum fallbacks.
+            W.set_flash_attention(True)
+            W.set_decode_kernel("auto")
         self._shard_all()
 
         self.optimizer = self._build_optimizer()
@@ -395,8 +402,13 @@ class MultiTaskTrainer:
         if mode == "auto":
             d = self.model.dims.n_audio_state
             layers = self.model.dims.n_audio_layer
+            # Under dp (shard_map or pjit) each device stores activations for
+            # batch_size/dp samples — threshold on the per-device batch so
+            # multi-chip runs don't over-trigger remat.
+            dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+            b_local = max(1, self.config.batch_size // max(1, dp))
             return (jax.default_backend() == "tpu"
-                    and self.config.batch_size * d * layers >= 190_000)
+                    and b_local * d * layers >= 190_000)
         return bool(mode)
 
     def _effective_weights(self, alpha, beta, cls_loss, trans_loss):

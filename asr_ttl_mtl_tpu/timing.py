@@ -17,6 +17,7 @@ backtrace walks on host.
 from __future__ import annotations
 
 import itertools
+import warnings
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import TYPE_CHECKING, List, Optional, Tuple
@@ -374,9 +375,13 @@ def find_alignment_batch(
             try:
                 path_walk(part, dtw_paths_collect(handles[0]), picked)
                 return
-            except Exception:
+            except Exception as e:
                 # kernel failed at run time: host-walk this chunk from the
                 # still-live matrices, and stop using the kernel
+                warnings.warn(
+                    f"device DTW collect failed ({e!r}); falling back to the "
+                    "host matrix walk for the rest of this call"
+                )
                 use_device_dtw = False
         host_walk(part, handles[1], picked)
 
@@ -414,7 +419,11 @@ def find_alignment_batch(
                     ),
                     matrices,
                 )
-            except Exception:
+            except Exception as e:
+                warnings.warn(
+                    f"device DTW dispatch failed ({e!r}); falling back to the "
+                    "host matrix walk for the rest of this call"
+                )
                 use_device_dtw = False
         pending.append((part, handles, picked))
         if len(pending) >= 2:

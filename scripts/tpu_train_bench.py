@@ -159,13 +159,22 @@ def bench_one(model_size: str, B: int, dp_shard_map=True, K: int = 8):
                       gflops_xla_counted=flops_per_step / 1e9,
                       mfu_pct=(flops_total / dt_dev) / peak * 100,
                       mfu_incl_h2d_pct=(flops_total / dt) / peak * 100)
+        # Basis note: under remat the backward RE-EXECUTES the encoder
+        # matmuls; XLA's cost analysis counts that recompute (it appears in
+        # the lowered program) but the analytic flash add-on is the
+        # no-recompute 3.5x either way, so remat rows count model FLOPs, not
+        # executed FLOPs, for the attention share. Say which basis this row
+        # used so mixed tables aren't misread.
+        basis = "remat (attention FLOPs=model, XLA rows=executed)" if (
+            trainer._use_remat()) else "no-remat (all FLOPs=executed)"
         print(
             f"  train-step FLOPs {flops_total / 1e9:.1f} G "
             f"({flops_per_step / 1e9:.1f} XLA-counted + "
             f"{attn_flops / 1e9:.1f} flash-attention); device-resident "
             f"step {dt_dev * 1e3:.1f} ms -> MFU {(flops_total / dt_dev) / peak * 100:.1f}% "
             f"of v5e bf16 peak ({flops_total / dt_dev / 1e12:.2f} TFLOP/s); "
-            f"incl-H2D MFU {(flops_total / dt) / peak * 100:.1f}%",
+            f"incl-H2D MFU {(flops_total / dt) / peak * 100:.1f}% "
+            f"[basis: {basis}]",
             flush=True,
         )
     except Exception as e:
