@@ -121,6 +121,14 @@ class TrainingConfig:
     # activations — what HBM-OOMs the fused train step at batch >= 128.
     # "auto" (default) enables it when batch_size >= 96 on TPU.
     remat: object = "auto"
+    # fused flat-buffer 4-group AdamW (mtl/fused_optim.py): arithmetically
+    # identical to the per-leaf optax chain (bit-parity differential in
+    # tests/test_fused_optim.py) but collapses the ~3000-op per-leaf
+    # optimizer tail into a few lane-aligned chains. Automatically falls
+    # back to the per-leaf chain when tp > 1 (sharded params cannot live in
+    # one flat buffer). Set False to force the per-leaf optax chain (e.g.
+    # to resume an orbax checkpoint written by an older per-leaf run).
+    fused_optimizer: bool = True
 
 
 DISORDER_TYPE = {0: "Normal", 1: "Dysphonia", 2: "Dysarthria"}

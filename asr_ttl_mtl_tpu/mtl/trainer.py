@@ -276,6 +276,25 @@ class MultiTaskTrainer:
                 lr * lr_scale, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
             )
 
+        # Fused flat-buffer path (default): same arithmetic, ~4 elementwise
+        # chains instead of a per-leaf tail (see mtl/fused_optim.py). Flat
+        # buffers cannot carry per-leaf NamedShardings, so tp>1 (sharded
+        # params) keeps the per-leaf chain.
+        tp = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
+        if getattr(cfg, "fused_optimizer", True) and tp == 1:
+            from .fused_optim import fused_multigroup_adamw
+
+            label_tree = jax.tree_util.tree_map_with_path(label, self._trainable())
+            hparams = {
+                "encoder": (lr * 0.1, wd),
+                "decoder": (lr * 0.3, wd),
+                "embeddings": (lr * 1.0, 0.0),
+                "classifier": (lr * 1.0, wd),
+            }
+            return fused_multigroup_adamw(
+                label_tree, hparams, cfg.gradient_clip_norm
+            )
+
         groups = {
             "encoder": adamw(0.1, wd),
             "decoder": adamw(0.3, wd),
@@ -341,8 +360,21 @@ class MultiTaskTrainer:
         )
         cls_loss, cls_per_row = cross_entropy(disease_logits, classes)
 
+        # Training under bf16 compute stores the (B, T, V) logits in bf16 —
+        # the CE log_softmax upcasts to fp32 in-fusion, so only the HBM
+        # stores/reads round (same contract as the serving decode loops'
+        # bf16 logit stores; the fp32[64,48,51869] tensor's ~5 roofline
+        # passes were ~4% of the tiny bs=64 step). Eval (train=False) keeps
+        # the fp32 logits contract so teacher-forced WER semantics and the
+        # CPU differential tests are bit-unchanged.
+        logits_dtype = (
+            self.compute_dtype
+            if (train and self.compute_dtype == jnp.bfloat16)
+            else None
+        )
         trans_logits, _, _ = W.decoder_apply(
-            params, dims, input_tokens, feats, compute_dtype=self.compute_dtype
+            params, dims, input_tokens, feats, compute_dtype=self.compute_dtype,
+            logits_dtype=logits_dtype,
         )
         trans_loss, trans_row_sum, trans_row_cnt = cross_entropy_ignore_index(
             trans_logits, target_tokens

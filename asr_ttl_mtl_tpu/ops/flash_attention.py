@@ -413,7 +413,9 @@ def flash_attention_mh(
 
     Equivalent to flash_attention over head-split inputs, without the
     head-split/merge HBM relayouts. Non-causal; padded key tails are masked
-    via `kv_valid_len` exactly as in flash_attention.
+    via `kv_valid_len` exactly as in flash_attention. (Training — where a
+    logsumexp residual is needed — goes through the head-pair-sliced
+    flash_attention_h2 kernels below instead.)
     """
     b, tq, d = q.shape
     tk = k.shape[1]
@@ -437,21 +439,178 @@ def flash_attention_mh(
         v = jnp.pad(v, ((0, 0), (0, tk_pad - tk), (0, 0)))
         kv_len = min(kv_len, tk)
 
+    kw = dict(n_head=n_head, kv_len=kv_len, tk_pad=tk_pad, scale=scale)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
+        pl.BlockSpec((1, tk_pad, d), lambda b_, i: (b_, 0, 0)),
+        pl.BlockSpec((1, tk_pad, d), lambda b_, i: (b_, 0, 0)),
+    ]
+    o_spec = pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0))
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+    cost = pl.CostEstimate(
+        flops=4 * b * tq_pad * tk_pad * d,
+        bytes_accessed=b * (2 * tq_pad + 2 * tk_pad) * d * q.dtype.itemsize,
+        transcendentals=b * tq_pad * tk_pad * n_head,
+    )
+
     out = pl.pallas_call(
-        functools.partial(
-            _flash_mh_kernel,
-            n_head=n_head, kv_len=kv_len, tk_pad=tk_pad, scale=scale,
-        ),
+        functools.partial(_flash_mh_kernel, **kw),
         grid=(b, tq_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
-            pl.BlockSpec((1, tk_pad, d), lambda b_, i: (b_, 0, 0)),
-            pl.BlockSpec((1, tk_pad, d), lambda b_, i: (b_, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
+        in_specs=in_specs,
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((b, tq_pad, d), v.dtype),
+        compiler_params=params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v)
+
+    return out[:, :tq] if tq_pad != tq else out
+
+
+# ---------------------------------------------------------------------------
+# head-pair-sliced training attention (natural layout, no relayouts)
+# ---------------------------------------------------------------------------
+#
+# The training path needs a logsumexp residual and a backward pass. Head-
+# splitting the (B, T, D) projections into (B*H, T, 64) gives fast kernels
+# (few huge tiles per program, k/v tiny in VMEM) but costs eleven HBM
+# relayout copies per attention call (dh=64 is half a lane tile, so XLA must
+# physically copy) — 13.3% of the round-3 tiny bs=64 train step. The v1
+# natural-layout alternative (per-head lane slices inside one program over
+# the full D) removed the copies but measured 1.5x slower kernels: holding
+# all H heads' k/v in VMEM forces small tiles and the per-head unrolled
+# chains pipeline poorly.
+#
+# These kernels keep BOTH properties: grid over (batch, D//128 lane tiles,
+# q blocks) where one 128-wide lane tile holds exactly 128//dh heads (2 for
+# Whisper's dh=64). Block specs slice the lane tile straight out of the
+# natural (B, T, D) array — an aligned tiled-layout DMA, not a copy — and
+# each program sees only its pair of heads' k/v (tk x 128), recovering the
+# head-split kernels' geometry (huge score tiles, many independent
+# programs). Measured at tiny/base encoder training shapes this runs the
+# backward at the head-split kernels' speed with zero relayout bytes.
+#
+# Non-causal only (encoder self-attention + cross-attention; the causal
+# decoder self-attention at text-bucket lengths is ~30x smaller and keeps
+# the head-split path). The lse/delta residuals live as (D//128, B, tq, hpb)
+# fp32 so each program reads/writes its own (1, 1, block_q, hpb) block.
+
+
+def h2_eligible(tq: int, tk: int, d: int, n_head: int) -> bool:
+    """Shapes the head-pair kernels serve: non-causal handled by caller;
+    lane tiles must hold a whole number of heads (dh divides 128) and D a
+    whole number of lane tiles."""
+    if n_head <= 0 or d % n_head:
+        return False
+    dh = d // n_head
+    return (
+        dh in (32, 64, 128)
+        and d % 128 == 0
+        and tq >= 16
+        and tk <= 4096
+    )
+
+
+def _h2_fwd_kernel(
+    q_ref,  # (1, block_q, 128)
+    k_ref,  # (1, tk_pad, 128)
+    v_ref,  # (1, tk_pad, 128)
+    o_ref,  # (1, block_q, 128)
+    lse_ref,  # (1, 1, block_q, hpb) fp32
+    *,
+    hpb: int,
+    kv_len: int,
+    tk_pad: int,
+    scale: float,
+):
+    dh = 128 // hpb
+    if kv_len < tk_pad:
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (1, tk_pad), 1)
+        tail_bias = jnp.where(k_col < kv_len, 0.0, _NEG_INF)
+    for j in range(hpb):
+        sl = slice(j * dh, (j + 1) * dh)
+        s = jax.lax.dot_general(
+            q_ref[0][:, sl], k_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, tk_pad)
+        if scale != 1.0:
+            s = s * scale
+        if kv_len < tk_pad:
+            s = s + tail_bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0, 0, :, j : j + 1] = m + jnp.log(l)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "kv_valid_len", "scale", "block_q", "interpret"),
+)
+def flash_attention_h2(
+    q: jnp.ndarray,  # (B, Tq, D)
+    k: jnp.ndarray,  # (B, Tk, D)
+    v: jnp.ndarray,  # (B, Tk, D)
+    *,
+    n_head: int,
+    kv_valid_len: int | None = None,
+    scale: float = 1.0,
+    block_q: int | None = None,
+    interpret: bool = False,
+):
+    """Training forward: softmax(scale * q_h k_h^T) v_h per head over the
+    natural layout, head-pair grid. Returns (out (B, Tq, D),
+    lse (D//128, B, Tq, hpb) fp32)."""
+    b, tq, d = q.shape
+    tk = k.shape[1]
+    kv_len = kv_valid_len if kv_valid_len is not None else tk
+    dh = d // n_head
+    hpb = 128 // dh
+    n_lane = d // 128
+
+    tk_pad = _round_up(tk, 128)
+    if block_q is None:
+        # k/v per program are (tk, 128) regardless of D, so the q block can
+        # be large; 512 keeps the fp32 score/prob tiles at 2x3 MB (T=1536)
+        block_q = 512
+    block_q = min(block_q, _round_up(tq, 128))
+    for cand in range(block_q, 127, -128):
+        if _round_up(tq, 128) % cand == 0:
+            block_q = cand
+            break
+    tq_pad = _round_up(tq, block_q)
+    if tq_pad != tq:
+        q = jnp.pad(q, ((0, 0), (0, tq_pad - tq), (0, 0)))
+    if tk_pad != tk:
+        k = jnp.pad(k, ((0, 0), (0, tk_pad - tk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, tk_pad - tk), (0, 0)))
+        kv_len = min(kv_len, tk)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _h2_fwd_kernel, hpb=hpb, kv_len=kv_len, tk_pad=tk_pad, scale=scale
+        ),
+        grid=(b, n_lane, tq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda b_, h, i: (b_, i, h)),
+            pl.BlockSpec((1, tk_pad, 128), lambda b_, h, i: (b_, 0, h)),
+            pl.BlockSpec((1, tk_pad, 128), lambda b_, h, i: (b_, 0, h)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, 128), lambda b_, h, i: (b_, i, h)),
+            pl.BlockSpec((1, 1, block_q, hpb), lambda b_, h, i: (h, b_, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, tq_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((n_lane, b, tq_pad, hpb), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * tq_pad * tk_pad * d,
@@ -461,15 +620,218 @@ def flash_attention_mh(
         interpret=interpret,
     )(q, k, v)
 
-    return out[:, :tq] if tq_pad != tq else out
+    if tq_pad != tq:
+        out, lse = out[:, :tq], lse[:, :, :tq]
+    return out, lse
+
+
+def _h2_bwd_dq_kernel(
+    q_ref,  # (1, block_q, 128)
+    k_ref,  # (1, tk_pad, 128)
+    v_ref,  # (1, tk_pad, 128)
+    do_ref,  # (1, block_q, 128)
+    lse_ref,  # (1, 1, block_q, hpb) fp32
+    delta_ref,  # (1, 1, block_q, hpb) fp32
+    dq_ref,  # (1, block_q, 128)
+    *,
+    hpb: int,
+    kv_len: int,
+    tk_pad: int,
+    scale: float,
+):
+    dh = 128 // hpb
+    if kv_len < tk_pad:
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (1, tk_pad), 1)
+        tail_bias = jnp.where(k_col < kv_len, 0.0, _NEG_INF)
+    for j in range(hpb):
+        sl = slice(j * dh, (j + 1) * dh)
+        s = jax.lax.dot_general(
+            q_ref[0][:, sl], k_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if scale != 1.0:
+            s = s * scale
+        if kv_len < tk_pad:
+            s = s + tail_bias
+        p = jnp.exp(s - lse_ref[0, 0][:, j : j + 1])
+        dp = jax.lax.dot_general(
+            do_ref[0][:, sl], v_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, j : j + 1]) * scale
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+
+
+def _h2_bwd_dkv_kernel(
+    q_ref,  # (1, block_q, 128)
+    k_ref,  # (1, tk_pad, 128)
+    v_ref,  # (1, tk_pad, 128)
+    do_ref,  # (1, block_q, 128)
+    lse_ref,  # (1, 1, block_q, hpb) fp32
+    delta_ref,  # (1, 1, block_q, hpb) fp32
+    dk_ref,  # (1, tk_pad, 128)
+    dv_ref,  # (1, tk_pad, 128)
+    acc_dk,  # (tk_pad, 128) fp32 scratch
+    acc_dv,  # (tk_pad, 128) fp32 scratch
+    *,
+    hpb: int,
+    kv_len: int,
+    tk_pad: int,
+    scale: float,
+):
+    dh = 128 // hpb
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros_like(acc_dk)
+        acc_dv[...] = jnp.zeros_like(acc_dv)
+
+    if kv_len < tk_pad:
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (1, tk_pad), 1)
+        tail_bias = jnp.where(k_col < kv_len, 0.0, _NEG_INF)
+    for j in range(hpb):
+        sl = slice(j * dh, (j + 1) * dh)
+        s = jax.lax.dot_general(
+            q_ref[0][:, sl], k_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, tk_pad)
+        if scale != 1.0:
+            s = s * scale
+        if kv_len < tk_pad:
+            s = s + tail_bias
+        p = jnp.exp(s - lse_ref[0, 0][:, j : j + 1])
+        do_j = do_ref[0][:, sl]
+        acc_dv[:, sl] += jax.lax.dot_general(
+            p.astype(do_j.dtype), do_j, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tk_pad, dh)
+        dp = jax.lax.dot_general(
+            do_j, v_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, j : j + 1]) * scale
+        acc_dk[:, sl] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0][:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tk_pad, dh)
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "kv_valid_len", "scale", "block_q", "interpret"),
+)
+def flash_attention_h2_bwd(
+    q, k, v, lse, delta,  g,
+    *,
+    n_head: int,
+    kv_valid_len: int | None = None,
+    scale: float = 1.0,
+    block_q: int | None = None,
+    interpret: bool = False,
+):
+    """(dq, dk, dv) for flash_attention_h2. `lse`/`delta` are
+    (D//128, B, Tq, hpb) fp32 (delta = per-head rowsum(dO*O), computed by
+    the caller in XLA — an elementwise reduce that fuses with no relayout)."""
+    b, tq, d = q.shape
+    tk = k.shape[1]
+    dh = d // n_head
+    hpb = 128 // dh
+    n_lane = d // 128
+    kv_len = kv_valid_len if kv_valid_len is not None else tk
+
+    if block_q is None:
+        block_q = 512
+    block_q = min(block_q, _round_up(tq, 128))
+    for cand in range(block_q, 127, -128):
+        if _round_up(tq, 128) % cand == 0:
+            block_q = cand
+            break
+    tq_pad = _round_up(tq, block_q)
+    tk_pad = _round_up(tk, 128)
+
+    if tq_pad != tq:
+        pad = ((0, 0), (0, tq_pad - tq), (0, 0))
+        q = jnp.pad(q, pad)
+        g = jnp.pad(g, pad)
+        rpad = ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0))
+        lse = jnp.pad(lse, rpad)
+        delta = jnp.pad(delta, rpad)
+    if tk_pad != tk:
+        pad = ((0, 0), (0, tk_pad - tk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        kv_len = min(kv_len, tk)
+
+    kw = dict(hpb=hpb, kv_len=kv_len, tk_pad=tk_pad, scale=scale)
+    q_spec = pl.BlockSpec((1, block_q, 128), lambda b_, h, i: (b_, i, h))
+    kfull_spec = pl.BlockSpec((1, tk_pad, 128), lambda b_, h, i: (b_, 0, h))
+    r_spec = pl.BlockSpec((1, 1, block_q, hpb), lambda b_, h, i: (h, b_, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_h2_bwd_dq_kernel, **kw),
+        grid=(b, n_lane, tq_pad // block_q),
+        in_specs=[q_spec, kfull_spec, kfull_spec, q_spec, r_spec, r_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * tq_pad * tk_pad * d,
+            bytes_accessed=b * (4 * tq_pad + 2 * tk_pad) * d * q.dtype.itemsize,
+            transcendentals=b * tq_pad * tk_pad * n_head,
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    # q sweep innermost ("arbitrary") so the fp32 dk/dv accumulators persist
+    # across it; the k/v lane-tile blocks are grid-constant along that axis
+    dk, dv = pl.pallas_call(
+        functools.partial(_h2_bwd_dkv_kernel, **kw),
+        grid=(b, n_lane, tq_pad // block_q),
+        in_specs=[q_spec, kfull_spec, kfull_spec, q_spec, r_spec, r_spec],
+        out_specs=(kfull_spec, kfull_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, tk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, tk_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tk_pad, 128), jnp.float32),
+            pltpu.VMEM((tk_pad, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * tq_pad * tk_pad * d,
+            bytes_accessed=b * (4 * tq_pad + 4 * tk_pad) * d * q.dtype.itemsize,
+            transcendentals=b * tq_pad * tk_pad * n_head,
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    dq = dq[:, :tq] if tq_pad != tq else dq
+    if tk_pad != tk:
+        dk, dv = dk[:, :tk], dv[:, :tk]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_mh_vjp(q, k, v, n_head, kv_valid_len=None, scale=1.0):
     """Differentiable wrapper: the primal (inference) path runs the
-    natural-layout kernel; under AD the forward+backward reuse the proven
-    head-split flash kernels (training numerics and cost unchanged — the
-    relayouts this kernel removes are already paid by the backward pass)."""
+    natural-layout mh kernel; under AD the head-pair h2 kernels provide the
+    lse forward and natural-layout backward (falling back to the head-split
+    flash kernels for shapes h2 does not serve)."""
     return flash_attention_mh(
         q, k, v, n_head=n_head, kv_valid_len=kv_valid_len, scale=scale
     )
@@ -478,6 +840,12 @@ def flash_attention_mh_vjp(q, k, v, n_head, kv_valid_len=None, scale=1.0):
 def _fa_mh_fwd(q, k, v, n_head, kv_valid_len, scale):
     b, tq, d = q.shape
     tk = k.shape[1]
+    if h2_eligible(tq, tk, d, n_head):
+        out, lse = flash_attention_h2(
+            q, k, v, n_head=n_head, kv_valid_len=kv_valid_len, scale=scale
+        )
+        return out, (q, k, v, out, lse)
+
     dh = d // n_head
 
     def split(x, t):
@@ -492,10 +860,26 @@ def _fa_mh_fwd(q, k, v, n_head, kv_valid_len, scale):
 
 
 def _fa_mh_bwd(n_head, kv_valid_len, scale, res, g):
-    q, k, v, out_split, lse = res
+    q, k, v, out_res, lse = res
     b, tq, d = q.shape
     tk = k.shape[1]
     dh = d // n_head
+    if h2_eligible(tq, tk, d, n_head):
+        # delta_h = rowsum(dO_h * O_h) in the h2 residual layout
+        # (D//128, B, Tq, hpb): elementwise product + per-dh reduce + a
+        # cheap transpose of the tiny (B, Tq, H) result
+        hpb = 128 // dh
+        n_lane = d // 128
+        delta = (
+            (g.astype(jnp.float32) * out_res.astype(jnp.float32))
+            .reshape(b, tq, n_lane, hpb, dh)
+            .sum(axis=-1)
+            .transpose(2, 0, 1, 3)
+        )
+        return flash_attention_h2_bwd(
+            q, k, v, lse, delta, g,
+            n_head=n_head, kv_valid_len=kv_valid_len, scale=scale,
+        )
 
     def split(x, t):
         return x.reshape(b, t, n_head, dh).transpose(0, 2, 1, 3).reshape(b * n_head, t, dh)
@@ -504,7 +888,7 @@ def _fa_mh_bwd(n_head, kv_valid_len, scale, res, g):
         return x.reshape(b, n_head, t, dh).transpose(0, 2, 1, 3).reshape(b, t, d)
 
     dq, dk, dv = flash_attention_bwd(
-        split(q, tq), split(k, tk), split(v, tk), out_split, lse, split(g, tq),
+        split(q, tq), split(k, tk), split(v, tk), out_res, lse, split(g, tq),
         kv_valid_len=kv_valid_len, scale=scale,
     )
     return merge(dq, tq), merge(dk, tk), merge(dv, tk)

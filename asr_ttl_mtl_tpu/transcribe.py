@@ -21,6 +21,7 @@ throughput-oriented batch transcription of many files, see
 from __future__ import annotations
 
 import os
+import threading
 import warnings
 from dataclasses import dataclass
 from functools import partial
@@ -560,13 +561,23 @@ def _cut_window(mel, seek, size):
 
 class _WindowStore:
     """Windows resident on device as a list of (program_b, n_mels, N_FRAMES)
-    chunk buffers; window k lives at buffer k//program_b, slot k%program_b."""
+    chunk buffers; window k lives at buffer k//program_b, slot k%program_b.
 
-    def __init__(self, program_b: int, n_mels: int):
+    Thread-aware: a producer thread may fill the store (upload + device mel
+    per file) while the main thread decodes — readers block in `chunk`/
+    `gather` until the windows they need have been appended. Window COUNTS
+    are known up front from host metadata (_window_metadata), so readers know
+    exactly what to wait for; a producer failure is re-raised at the waiting
+    reader."""
+
+    def __init__(self, program_b: int, n_mels: int, total: Optional[int] = None):
         self.program_b = program_b
         self.n_mels = n_mels
         self.buffers: List[jnp.ndarray] = []
         self.count = 0
+        self.total = total
+        self._cond = threading.Condition()
+        self._error: Optional[BaseException] = None
 
     def append(self, win: jnp.ndarray) -> None:
         slot = self.count % self.program_b
@@ -575,12 +586,33 @@ class _WindowStore:
                 jnp.zeros((self.program_b, self.n_mels, N_FRAMES), jnp.float32)
             )
         self.buffers[-1] = _write_window(self.buffers[-1], win, np.int32(slot))
-        self.count += 1
+        with self._cond:
+            self.count += 1
+            self._cond.notify_all()
+
+    def fail(self, err: BaseException) -> None:
+        with self._cond:
+            self._error = err
+            self._cond.notify_all()
+
+    def _wait_for(self, n: int) -> None:
+        """Block until at least n windows are stored (no-op when the store
+        was filled synchronously)."""
+        if self.total is not None:
+            n = min(n, self.total)
+        with self._cond:
+            while self.count < n:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "window-store producer failed"
+                    ) from self._error
+                self._cond.wait(timeout=1.0)
 
     def chunk(self, start: int) -> jnp.ndarray:
         """The whole buffer holding windows [start, start+program_b) — valid
         only when start is chunk-aligned (the rung-0 fast path)."""
         assert start % self.program_b == 0
+        self._wait_for(start + self.program_b)
         return self.buffers[start // self.program_b]
 
     def gather(self, indices: List[int], pad_to: Optional[int] = None) -> jnp.ndarray:
@@ -589,6 +621,8 @@ class _WindowStore:
         a handful of cached programs, dispatch cost only. Slots beyond
         len(indices) (up to `pad_to`) stay zero, matching the host path's
         zero-padded partial chunks."""
+        if indices:
+            self._wait_for(max(indices) + 1)
         out = jnp.zeros((pad_to or len(indices), self.n_mels, N_FRAMES), jnp.float32)
         for slot, k in enumerate(indices):
             win = _read_window(self.buffers[k // self.program_b],
@@ -622,6 +656,20 @@ def _decode_audios(model, audios) -> Tuple[list, int]:
     return decoded, total_windows
 
 
+def _window_metadata(decoded) -> List[_Window]:
+    """The window list the device path will produce, computed purely on host
+    (same seek arithmetic as _fill_window_store) — lets decode start before
+    the uploads/mels finish."""
+    windows: List[_Window] = []
+    for idx, (_audio, _bucket, content_frames) in enumerate(decoded):
+        seek = 0
+        while seek < content_frames:
+            size = max(1, min(N_FRAMES, content_frames - seek))
+            windows.append(_Window(idx, seek, size, None))
+            seek += size
+    return windows
+
+
 def _fill_window_store(model, decoded, store: "_WindowStore") -> List[_Window]:
     windows: List[_Window] = []
     n_mels = model.dims.n_mels
@@ -639,6 +687,25 @@ def _fill_window_store(model, decoded, store: "_WindowStore") -> List[_Window]:
             windows.append(_Window(idx, seek, size, None))
             seek += size
     return windows
+
+
+def _fill_window_store_async(model, decoded, store: "_WindowStore"):
+    """Fill the store from a producer thread: file i+1's waveform uploads
+    and mel-izes while file i's windows decode (the serialized upload phase
+    was most of the e2e gap to the window-decode headline — PERF.md round-3
+    e2e section; the training loader proves the producer pattern,
+    mtl/dataset.py). Readers block in _WindowStore._wait_for; a producer
+    crash is re-raised there."""
+
+    def produce():
+        try:
+            _fill_window_store(model, decoded, store)
+        except BaseException as e:  # noqa: BLE001 — must unblock readers
+            store.fail(e)
+
+    t = threading.Thread(target=produce, daemon=True, name="window-store-producer")
+    t.start()
+    return t
 
 
 def transcribe_batch(
@@ -716,8 +783,16 @@ def transcribe_batch(
         decoded, total_windows = _decode_audios(model, audios)
         cap = int(os.environ.get("ASRMTL_DEVICE_WINDOWS_CAP", "2048"))
         if 0 < total_windows <= cap:
-            store = _WindowStore(min(batch_size, total_windows), model.dims.n_mels)
-            windows = _fill_window_store(model, decoded, store)
+            store = _WindowStore(
+                min(batch_size, total_windows), model.dims.n_mels,
+                total=total_windows,
+            )
+            windows = _window_metadata(decoded)
+            if os.environ.get("ASRMTL_UPLOAD_OVERLAP", "1") != "0":
+                # producer thread: uploads + device mels overlap decode
+                _fill_window_store_async(model, decoded, store)
+            else:
+                _fill_window_store(model, decoded, store)
         else:
             windows = _collect_windows(model, [d[0] for d in decoded],
                                        clip_timestamps)

@@ -113,7 +113,7 @@ def main():
     print("top op-name groups:")
     for k, (n, s) in sorted(groups.items(), key=lambda kv: -kv[1][1])[:12]:
         print(f"  {s/1e3:7.2f}ms {100*s/tot:5.1f}% {n:5d} ops  {k}")
-    for r in rows[:15]:
+    for r in rows[:34]:
         st = float(r[i["total_self_time"]])
         print(
             f'{st/1e3:7.2f}ms {100*st/tot:5.1f}% occ={r[i["occurrences"]]:>4} '

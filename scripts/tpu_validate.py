@@ -124,6 +124,43 @@ def main():
     fdiff = np.abs(np.asarray(feats_fl, np.float32) - np.asarray(feats_nf, np.float32)).max()
     print(f"encoder flash-vs-einsum max feature diff: {fdiff:.3f} (bf16)", flush=True)
 
+    # --- 3a2. natural-layout training attention backward (mh fwd+bwd
+    # kernels vs einsum autodiff, compiled on chip) ---
+    from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_mh_vjp, h2_eligible
+
+    for (bb, tq_, tk_, hh, lbl) in ((2, 1500, 1500, 8, "enc 1500x1500 d512"),
+                                    (4, 48, 1500, 8, "cross 48x1500 d512")):
+        d_ = hh * 64
+        assert h2_eligible(tq_, tk_, d_, hh)
+        qg = jnp.asarray(rng.randn(bb, tq_, d_).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+        kg = jnp.asarray(rng.randn(bb, tk_, d_).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+        vg = jnp.asarray(rng.randn(bb, tk_, d_).astype(np.float32)).astype(jnp.bfloat16)
+
+        def mh_loss(q_, k_, v_):
+            out = flash_attention_mh_vjp(q_, k_, v_, hh, None, 0.125)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def ref_loss(q_, k_, v_):
+            qs = q_.reshape(bb, tq_, hh, 64)
+            ks = k_.reshape(bb, tk_, hh, 64)
+            vs = v_.reshape(bb, tk_, hh, 64)
+            sg_ = jnp.einsum("bqhd,bkhd->bhqk", qs, ks,
+                             preferred_element_type=jnp.float32) * 0.125
+            wg = jax.nn.softmax(sg_, axis=-1).astype(v_.dtype)
+            og = jnp.einsum("bhqk,bkhd->bqhd", wg, vs,
+                            preferred_element_type=jnp.float32)
+            return jnp.sum(og.reshape(bb, tq_, d_) ** 2)
+
+        f_g = jax.jit(jax.grad(mh_loss, argnums=(0, 1, 2)))(qg, kg, vg)
+        r_g = jax.jit(jax.grad(ref_loss, argnums=(0, 1, 2)))(qg, kg, vg)
+        for fg_, rg_, nm in zip(f_g, r_g, "qkv"):
+            fa = np.asarray(fg_, np.float32)
+            ra = np.asarray(rg_, np.float32)
+            denom = np.abs(ra).max() + 1e-9
+            relmax = np.abs(fa - ra).max() / denom
+            print(f"mh-bwd {lbl} d{nm}: rel-max {relmax:.2e}", flush=True)
+            assert relmax < 5e-2, f"mh natural bwd parity FAILED ({lbl} d{nm})"
+
     # --- 3b. int8 (W8A8) encoder projections: timing + closeness ---
     enc_i8 = jax.jit(
         lambda m: W.encoder_apply(params, dims, m, jnp.bfloat16, int8_linears=True)

@@ -300,3 +300,129 @@ class TestFlashVJP:
         # masked-out keys must receive exactly zero gradient
         assert np.all(np.asarray(f_grads[1])[:, valid:] == 0)
         assert np.all(np.asarray(f_grads[2])[:, valid:] == 0)
+
+
+class TestMHNaturalBackward:
+    """Head-pair (h2) training kernels via flash_attention_mh_vjp: lane-
+    tile-sliced fwd(lse)+dq/dkv over (B, T, D) must match einsum autodiff —
+    no head-split relayouts anywhere."""
+
+    def _inputs(self, b=2, tq=256, tk=256, h=4, dh=64, seed=20, dtype=np.float32):
+        rng = np.random.RandomState(seed)
+        d = h * dh
+        q = jnp.asarray(rng.randn(b, tq, d).astype(dtype) * 0.3)
+        k = jnp.asarray(rng.randn(b, tk, d).astype(dtype) * 0.3)
+        v = jnp.asarray(rng.randn(b, tk, d).astype(dtype))
+        return q, k, v
+
+    @staticmethod
+    def _ref_loss_fn(n_head, kv_valid_len, scale):
+        def ref_loss(q, k, v):
+            b, tq, d = q.shape
+            tk = k.shape[1]
+            dh = d // n_head
+            qs = q.reshape(b, tq, n_head, dh)
+            ks = k.reshape(b, tk, n_head, dh)
+            vs = v.reshape(b, tk, n_head, dh)
+            s = jnp.einsum("bqhd,bkhd->bhqk", qs, ks) * scale
+            if kv_valid_len is not None:
+                s = jnp.where(
+                    jnp.arange(tk)[None, None, None, :] < kv_valid_len, s, -jnp.inf
+                )
+            w = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", w, vs).reshape(b, tq, d)
+            return jnp.sum(out * jnp.cos(out))
+
+        return ref_loss
+
+    def _check(self, q, k, v, n_head, kv_valid_len=None, scale=0.125, atol=1e-4):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from asr_ttl_mtl_tpu.ops.flash_attention import (
+            flash_attention_mh_vjp, h2_eligible,
+        )
+
+        assert h2_eligible(q.shape[1], k.shape[1], q.shape[2], n_head)
+
+        def mh_loss(q, k, v):
+            out = flash_attention_mh_vjp(q, k, v, n_head, kv_valid_len, scale)
+            return jnp.sum(out * jnp.cos(out))
+
+        with pltpu.force_tpu_interpret_mode():
+            f_val, f_grads = jax.value_and_grad(mh_loss, argnums=(0, 1, 2))(q, k, v)
+        ref_loss = self._ref_loss_fn(n_head, kv_valid_len, scale)
+        r_val, r_grads = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(f_val), float(r_val), rtol=1e-5)
+        for fg, rg, name in zip(f_grads, r_grads, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(fg), np.asarray(rg), atol=atol, rtol=1e-4,
+                err_msg=f"d{name} mismatch",
+            )
+        return f_grads
+
+    def test_aligned(self):
+        q, k, v = self._inputs()
+        self._check(q, k, v, n_head=4)
+
+    def test_encoder_shape_small(self):
+        # 1500-key geometry scaled down batch-wise: unaligned tk -> padded tail
+        q, k, v = self._inputs(b=1, tq=375, tk=375, h=6, seed=21)
+        self._check(q, k, v, n_head=6)
+
+    def test_cross_attention_shape(self):
+        # teacher-forced cross-attn: short queries against long keys
+        q, k, v = self._inputs(b=2, tq=48, tk=300, seed=22)
+        self._check(q, k, v, n_head=4)
+
+    def test_kv_valid_len_zero_grad_on_tail(self):
+        q, k, v = self._inputs(b=1, tq=130, tk=257, seed=23)
+        f_grads = self._check(q, k, v, n_head=4, kv_valid_len=201)
+        assert np.all(np.asarray(f_grads[1])[:, 201:] == 0)
+        assert np.all(np.asarray(f_grads[2])[:, 201:] == 0)
+
+    def test_bf16(self):
+        q, k, v = self._inputs(seed=24)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        from jax.experimental.pallas import tpu as pltpu
+
+        from asr_ttl_mtl_tpu.ops.flash_attention import flash_attention_mh_vjp
+
+        def mh_loss(q, k, v):
+            out = flash_attention_mh_vjp(q, k, v, 4, None, 0.125)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            f_grads = jax.grad(mh_loss, argnums=(0, 1, 2))(qb, kb, vb)
+        r_grads = jax.grad(
+            lambda q, k, v: jnp.sum(
+                self._ref_loss_and_out(q, k, v, 4, 0.125) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for fg, rg in zip(f_grads, r_grads):
+            np.testing.assert_allclose(
+                np.asarray(fg, dtype=np.float32), np.asarray(rg), atol=0.12, rtol=0.12
+            )
+
+    @staticmethod
+    def _ref_loss_and_out(q, k, v, n_head, scale):
+        b, tq, d = q.shape
+        tk = k.shape[1]
+        dh = d // n_head
+        qs = q.reshape(b, tq, n_head, dh)
+        ks = k.reshape(b, tk, n_head, dh)
+        vs = v.reshape(b, tk, n_head, dh)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qs, ks) * scale
+        w = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", w, vs).reshape(b, tq, d)
+
+    def test_eligibility_gate(self):
+        from asr_ttl_mtl_tpu.ops.flash_attention import h2_eligible
+
+        assert h2_eligible(1536, 1536, 384, 6)   # tiny encoder
+        assert h2_eligible(1536, 1536, 512, 8)   # base encoder
+        assert h2_eligible(48, 1500, 512, 8)     # base cross-attn
+        assert h2_eligible(1536, 1536, 768, 12)  # small encoder
+        assert h2_eligible(1536, 1536, 1280, 20)  # large: D-independent VMEM
+        assert not h2_eligible(1536, 1536, 192, 3)  # D not a lane-tile multiple
+        assert not h2_eligible(4, 1536, 512, 8)     # tiny Tq
