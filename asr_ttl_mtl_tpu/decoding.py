@@ -915,7 +915,7 @@ class DecodingTask:
             for i in range(len(tokens))
         ]
 
-    def submit(self, mel: jnp.ndarray, rng_seed: int = 0):
+    def submit(self, mel: jnp.ndarray, rng_seed: int = 0, feature_sink=None):
         """Dispatch one batch's fused decode program WITHOUT waiting.
 
         JAX dispatch is asynchronous — run()'s only sync point is the result
@@ -927,6 +927,11 @@ class DecodingTask:
         outside them (language detection, lang_id, return_audio_features)
         fall back to an eager run() inside submit, so submit/collect is
         always safe to use.
+
+        `feature_sink`: with fuse_encoder=False, called with this batch's
+        device-resident encoder features (B, n_audio_ctx, D) — words mode
+        captures them so the batched alignment forward can skip its second
+        encoder pass (transcribe_batch._FeatureStore).
         """
         mel = jnp.asarray(mel)
         fused_ok = (
@@ -948,6 +953,8 @@ class DecodingTask:
             if not self.options.fuse_encoder:
                 fused_mel = None
                 feats, cross_kv = self._encode_audio(mel)
+                if feature_sink is not None:
+                    feature_sink(feats)
             if self.options.beam_size is not None:
                 from .beam import dispatch_beam
 

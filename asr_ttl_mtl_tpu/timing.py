@@ -192,7 +192,7 @@ _TOKEN_BUCKETS = (64, 128, 192, 256, 320, 384, 448)
 @lru_cache(maxsize=16)
 def _build_alignment_forward_batch(
     dims, head_pairs, compute_dtype_name: str, bucket_len: int, eot: int,
-    medfilt_width: int,
+    medfilt_width: int, from_features: bool = False,
 ):
     """Jitted batched teacher-forced alignment forward: B window mels +
     padded token rows -> (per-window DTW cost matrix, per-position probability
@@ -216,7 +216,13 @@ def _build_alignment_forward_batch(
     half = medfilt_width // 2
 
     def run(params, mels, tokens, frame_lens, row_lens, qk_scale):
-        feats = W.encoder_apply(params, dims, mels, compute_dtype)
+        if from_features:
+            # mels ARE the decode phase's captured encoder features — the
+            # same deterministic encoder output, so matrices are unchanged
+            # (words mode, transcribe_batch._FeatureStore)
+            feats = mels.astype(compute_dtype)
+        else:
+            feats = W.encoder_apply(params, dims, mels, compute_dtype)
         logits, _, cross_qk = W.decoder_apply(
             params, dims, tokens, feats, compute_dtype=compute_dtype,
             return_cross_qk=True,
@@ -294,6 +300,7 @@ def find_alignment_batch(
     qk_scale: float = 1.0,
     batch_size: Optional[int] = None,
     use_device_dtw: Optional[bool] = None,
+    features=None,
 ) -> List[List[WordTiming]]:
     """Batched :func:`find_alignment` over many 30 s windows at once.
 
@@ -326,11 +333,16 @@ def find_alignment_batch(
     bucket = next((b for b in _TOKEN_BUCKETS if b >= longest), longest)
 
     head_pairs = tuple((int(l), int(h)) for l, h in np.argwhere(model.alignment_heads))
+    # `features`: decode-phase encoder output (an object with
+    # .gather(indices, pad_to) -> (chunk, n_audio_ctx, D), e.g.
+    # transcribe._FeatureStore) — the forward skips its encoder pass and the
+    # sampled windows' features are reused instead of recomputed (the second
+    # teacher-forced encoder was the dominant cost of words mode, PERF.md).
     fwd = _build_alignment_forward_batch(
         model.dims, head_pairs, jnp.dtype(model.compute_dtype).name, bucket,
-        tokenizer.eot, medfilt_width,
+        tokenizer.eot, medfilt_width, from_features=features is not None,
     )
-    if not isinstance(mels, jnp.ndarray):
+    if features is None and not isinstance(mels, jnp.ndarray):
         mels = np.asarray(mels)  # device arrays stay resident (device gather)
     # chunk the fan-out: each window's cross-QK intermediate inside the
     # program is (layers, heads, bucket, T_audio) fp32 — tens of MB at base —
@@ -394,9 +406,13 @@ def find_alignment_batch(
             tokens[r, : len(rows[i])] = rows[i]
         frame_lens = [num_frames_list[i] // 2 for i in idx]
         row_lens = [len(rows[i]) for i in idx]
+        if features is not None:
+            fwd_input = features.gather(idx)
+        else:
+            fwd_input = jnp.asarray(mels[np.asarray(idx)])
         matrices, picked = fwd(
             model.params,
-            jnp.asarray(mels[np.asarray(idx)]),
+            fwd_input,
             jnp.asarray(tokens),
             jnp.asarray(frame_lens, jnp.int32),
             jnp.asarray(row_lens, jnp.int32),

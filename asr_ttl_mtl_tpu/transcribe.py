@@ -631,6 +631,34 @@ class _WindowStore:
         return out
 
 
+class _FeatureStore:
+    """Device-resident encoder features captured during the decode phase
+    (words mode): chunk c's (program_b, n_audio_ctx, D) feature batch for
+    windows [c*program_b, (c+1)*program_b). Lets the batched alignment
+    forward (timing.find_alignment_batch) skip its second encoder pass —
+    the features are the SAME deterministic encoder output the decode
+    program consumed, so alignment matrices are unchanged."""
+
+    def __init__(self, program_b: int):
+        self.program_b = program_b
+        self.chunks: dict = {}
+
+    def put(self, chunk_idx: int, feats: jnp.ndarray) -> None:
+        self.chunks[chunk_idx] = feats
+
+    def has(self, indices: List[int]) -> bool:
+        return all((k // self.program_b) in self.chunks for k in indices)
+
+    def gather(self, indices: List[int], pad_to: Optional[int] = None) -> jnp.ndarray:
+        first = self.chunks[indices[0] // self.program_b]
+        out = jnp.zeros((pad_to or len(indices),) + first.shape[1:], first.dtype)
+        for slot, k in enumerate(indices):
+            row = _read_window(self.chunks[k // self.program_b],
+                               np.int32(k % self.program_b))
+            out = _write_window(out, row, np.int32(slot))
+        return out
+
+
 def _cut_window_dev(mel: jnp.ndarray, seek, size) -> jnp.ndarray:
     """(n_mels, F) bucketed device mel -> one (n_mels, N_FRAMES) window with
     the tail beyond `size` zeroed (what pad_or_trim writes on host)."""
@@ -874,6 +902,24 @@ def transcribe_batch(
     # underneath are lru-cached on static config only, so all rungs AND all
     # languages share the same compiles (the language token is a traced input)
 
+    # Words mode + device windows + one explicit-language group: decode with
+    # an unfused encoder and CAPTURE its features per rung-0 chunk, so the
+    # batched alignment forward reuses them instead of re-running the
+    # encoder (its dominant cost — the same deterministic output, so
+    # alignment matrices are unchanged). Skipped under int8_encoder (the
+    # alignment contract is the non-quantized encoder) and above the window
+    # cap (feature chunks are (B, n_audio_ctx, D) HBM residents).
+    feat_store: Optional[_FeatureStore] = None
+    if (
+        word_timestamps
+        and store is not None
+        and language is not None
+        and not decode_options.get("int8_encoder", False)
+        and len(windows) <= int(os.environ.get("ASRMTL_FEATURE_STORE_CAP", "2048"))
+    ):
+        feat_store = _FeatureStore(min(batch_size, len(windows)))
+        decode_options["fuse_encoder"] = False
+
     def decode_subset(indices: List[int], t: float, lang: str) -> None:
         options = options_at_temperature({**decode_options, "language": lang}, t)
         task = tasks.get((t, lang))
@@ -893,10 +939,13 @@ def transcribe_batch(
         program_b = min(batch_size, len(windows))
         for i in range(0, len(indices), program_b):
             group = indices[i : i + program_b]
+            aligned_chunk = (
+                len(group) == program_b
+                and group == list(range(group[0], group[0] + program_b))
+                and group[0] % program_b == 0
+            )
             if store is not None:
-                if len(group) == program_b and group == list(
-                    range(group[0], group[0] + program_b)
-                ) and group[0] % program_b == 0:
+                if aligned_chunk:
                     # rung-0 fast path: the chunk IS a store buffer
                     chunk_dev = store.chunk(group[0])
                 else:
@@ -917,7 +966,23 @@ def transcribe_batch(
                 pending.append((group, collect_batched_dp, handle))
             else:
                 mels_in = chunk_dev if chunk_dev is not None else jnp.asarray(np.stack(chunk))
-                pending.append((group, task.collect, task.submit(mels_in)))
+                sink = None
+                # capture on any contiguous chunk-aligned group — the full
+                # fast-path chunks AND rung 0's final partial chunk (its
+                # gathered rows are windows [start, start+len) in order);
+                # ladder-retry subsets are non-contiguous and never captured
+                if (
+                    feat_store is not None
+                    and group
+                    and group[0] % program_b == 0
+                    and group == list(range(group[0], group[0] + len(group)))
+                ):
+                    chunk_idx = group[0] // program_b
+                    if chunk_idx not in feat_store.chunks:
+                        sink = partial(feat_store.put, chunk_idx)
+                pending.append(
+                    (group, task.collect, task.submit(mels_in, feature_sink=sink))
+                )
             if len(pending) >= 2:
                 drain_one()
         while pending:
@@ -980,10 +1045,26 @@ def transcribe_batch(
                  if t < tokenizer.eot]
                 for k in lang_indices
             ]
-            mels_group = (
-                store.gather(lang_indices) if store is not None
-                else np.stack([windows[k].mel for k in lang_indices])
-            )
+            features = None
+            if feat_store is not None and feat_store.has(lang_indices):
+                # reuse the decode phase's encoder features: local alignment
+                # row i is global window lang_indices[i]
+                class _Remap:
+                    def __init__(self, fs, idx_map):
+                        self.fs, self.idx_map = fs, idx_map
+
+                    def gather(self, idx, pad_to=None):
+                        return self.fs.gather(
+                            [self.idx_map[i] for i in idx], pad_to
+                        )
+
+                features = _Remap(feat_store, lang_indices)
+                mels_group = None
+            else:
+                mels_group = (
+                    store.gather(lang_indices) if store is not None
+                    else np.stack([windows[k].mel for k in lang_indices])
+                )
             alignments = find_alignment_batch(
                 model,
                 tokenizer,
@@ -991,6 +1072,7 @@ def transcribe_batch(
                 mels_group,
                 [windows[k].size for k in lang_indices],
                 batch_size=batch_size,
+                features=features,
             )
             for k, alignment in zip(lang_indices, alignments):
                 add_word_timestamps(

@@ -398,9 +398,9 @@ def test_batch_ladder_fallback_matches_sequential(batch_model, short_waves):
     calls = []
     orig_submit = DecodingTask.submit
 
-    def spy(self, mel, rng_seed=0):
+    def spy(self, mel, rng_seed=0, **kw):
         calls.append((float(self.options.temperature), int(mel.shape[0])))
-        return orig_submit(self, mel, rng_seed)
+        return orig_submit(self, mel, rng_seed, **kw)
 
     DecodingTask.submit = spy
     try:
@@ -550,4 +550,33 @@ def test_device_windows_language_detection_matches(multi_models, short_waves):
     host = transcribe_batch(model, short_waves[:3], device_windows=False, **kwargs)
     dev = transcribe_batch(model, short_waves[:3], device_windows=True, **kwargs)
     assert [r["language"] for r in host] == [r["language"] for r in dev]
+    assert host == dev
+
+
+def test_words_mode_reuses_decode_features(batch_model, short_waves, long_wave, monkeypatch):
+    """Words mode on the device-window path must feed the decode phase's
+    captured encoder features into the alignment forward (no second encoder
+    pass) — and still match the host path exactly. Guards against the
+    eligibility gate silently regressing to the recompute path."""
+    import importlib
+
+    T = importlib.import_module("asr_ttl_mtl_tpu.transcribe")
+    gathers = []
+    orig = T._FeatureStore.gather
+
+    def spy(self, idx, pad_to=None):
+        gathers.append(list(idx))
+        return orig(self, idx, pad_to)
+
+    monkeypatch.setattr(T._FeatureStore, "gather", spy)
+    model = batch_model
+    inputs = list(short_waves[:2]) + [long_wave]
+    kwargs = dict(
+        without_timestamps=True, sample_len=8, fp16=False, temperature=0.0,
+        language="en", word_timestamps=True, suppress_tokens=_SUPPRESS,
+        batch_size=3,
+    )
+    dev = T.transcribe_batch(model, inputs, device_windows=True, **kwargs)
+    assert gathers, "alignment did not read the decode-phase feature store"
+    host = T.transcribe_batch(model, inputs, device_windows=False, **kwargs)
     assert host == dev
