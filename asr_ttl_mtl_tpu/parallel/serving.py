@@ -193,11 +193,21 @@ def dispatch_batched_dp(
     dp = mesh.shape["dp"]
     task = DecodingTask(model, options)
 
-    mels = np.asarray(mels, np.float32)
+    # device-resident mels (transcribe_batch's window store on a mesh) stay
+    # on device: the dp resharding below moves them shard-to-shard over ICI
+    # instead of round-tripping through the host
+    device_mels = isinstance(mels, jnp.ndarray)
+    if not device_mels:
+        mels = np.asarray(mels, np.float32)
     n_audio = mels.shape[0]
     if n_audio % dp:
         pad = dp - n_audio % dp
-        mels = np.concatenate([mels, np.zeros((pad, *mels.shape[1:]), np.float32)])
+        if device_mels:
+            mels = jnp.pad(mels, ((0, pad), (0, 0), (0, 0)))
+        else:
+            mels = np.concatenate(
+                [mels, np.zeros((pad, *mels.shape[1:]), np.float32)]
+            )
     B = mels.shape[0]
 
     n_group = task.n_group if options.beam_size is None else 1
@@ -229,7 +239,16 @@ def dispatch_batched_dp(
         mel_dev = jax.device_put(mels, NamedSharding(mesh, P("dp", None, None)))
         toks_dev = jax.device_put(padded, NamedSharding(mesh, P("dp", None)))
     else:
-        params, mel_dev, toks_dev = model.params, jnp.asarray(mels), padded
+        params, toks_dev = model.params, padded
+        if device_mels and mesh.size > 1:
+            from jax.sharding import NamedSharding
+
+            # a store buffer is committed to one device; reshard it over dp
+            # explicitly (ICI scatter) — the shard_map jit would otherwise
+            # reject the committed single-device placement
+            mel_dev = jax.device_put(mels, NamedSharding(mesh, P("dp", None, None)))
+        else:
+            mel_dev = jnp.asarray(mels)
 
     if options.beam_size is not None:
         K = options.beam_size

@@ -707,7 +707,17 @@ def _fill_window_store(model, decoded, store: "_WindowStore") -> List[_Window]:
         # identical to the padding argument's zeros (audio.log_mel_spectrogram)
         padded = np.zeros(bucket - N_SAMPLES, np.float32)
         padded[: audio.shape[-1]] = audio
-        mel = log_mel_spectrogram(jnp.asarray(padded), n_mels, padding=N_SAMPLES)
+        # PCM-sourced waveforms (load_audio: int16/32768) upload as int16 —
+        # HALF the tunnel bytes, and the upload is this path's wall-clock
+        # bound; the device-side /32768 reproduces the f32 values EXACTLY,
+        # so mels are bit-identical. Non-PCM floats keep the f32 upload.
+        scaled = padded * 32768.0
+        i16 = scaled.astype(np.int16)
+        if np.array_equal(i16.astype(np.float32), scaled):
+            wav_dev = jnp.asarray(i16).astype(jnp.float32) / 32768.0
+        else:
+            wav_dev = jnp.asarray(padded)
+        mel = log_mel_spectrogram(wav_dev, n_mels, padding=N_SAMPLES)
         seek = 0
         while seek < content_frames:
             size = max(1, min(N_FRAMES, content_frames - seek))
@@ -797,13 +807,17 @@ def transcribe_batch(
     """
     from .decoding import DecodingTask
 
+    # Device windows work on meshes too (r4): the store lives on one device;
+    # dispatch_batched_dp reshards each chunk device->shards over ICI instead
+    # of re-uploading it from the host (the full 3x tunnel traffic the
+    # single-device path already deleted). clip_timestamps remains the one
+    # host-windowing case.
     use_dev_windows = device_windows
     if use_dev_windows is None:
         use_dev_windows = (
-            jax.default_backend() == "tpu" and mesh is None
-            and clip_timestamps == "0"
+            jax.default_backend() == "tpu" and clip_timestamps == "0"
         )
-    elif use_dev_windows and (mesh is not None or clip_timestamps != "0"):
+    elif use_dev_windows and clip_timestamps != "0":
         use_dev_windows = False
 
     store = None
@@ -913,6 +927,7 @@ def transcribe_batch(
     if (
         word_timestamps
         and store is not None
+        and mesh is None  # the mesh dispatch has no feature capture
         and language is not None
         and not decode_options.get("int8_encoder", False)
         and len(windows) <= int(os.environ.get("ASRMTL_FEATURE_STORE_CAP", "2048"))
@@ -960,8 +975,9 @@ def transcribe_batch(
             # depth-2 dispatch pipeline (single device AND mesh): the next
             # chunk's device work overlaps this chunk's fetch + host assembly
             if mesh is not None:
+                mels_in = chunk_dev if chunk_dev is not None else np.stack(chunk)
                 handle = dispatch_batched_dp(
-                    model, np.stack(chunk), options, mesh=mesh
+                    model, mels_in, options, mesh=mesh
                 )
                 pending.append((group, collect_batched_dp, handle))
             else:

@@ -30,11 +30,14 @@ def main():
     from asr_ttl_mtl_tpu.decoding import DecodingOptions, DecodingTask
     from asr_ttl_mtl_tpu.models import from_random
 
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    kv_int8 = os.environ.get("KV_INT8", "0") == "1"
     model = from_random("base", seed=0, compute_dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
-    mel8 = jnp.asarray(rng.randn(8, model.dims.n_mels, 3000).astype(np.float32) * 0.3)
+    mel8 = jnp.asarray(rng.randn(B, model.dims.n_mels, 3000).astype(np.float32) * 0.3)
     opts = DecodingOptions(language="en", without_timestamps=True, beam_size=5,
-                           sample_len=64, suppress_tokens="-1,50257", fp16=True)
+                           sample_len=64, suppress_tokens="-1,50257", fp16=True,
+                           kv_quant=kv_int8)
     task = DecodingTask(model, opts)
     for _ in range(3):
         task.run(mel8)
@@ -42,7 +45,7 @@ def main():
     for i in range(5):
         task.run(mel8)
     dt = (time.perf_counter() - t0) / 5
-    print(f"beam=5 B=8 base: {dt*1e3:.0f} ms/call = {8*30/dt:.0f} audio-sec/sec/chip",
+    print(f"beam=5 B={B} int8={kv_int8} base: {dt*1e3:.0f} ms/call = {B*30/dt:.0f} audio-sec/sec/chip",
           flush=True)
 
     os.system(f"rm -rf {LOGDIR}")

@@ -356,3 +356,45 @@ def test_decode_batched_dp_with_kv_quant(params):
         assert a.tokens == b.tokens
         np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, atol=1e-4)
 
+
+
+def test_transcribe_batch_mesh_device_windows(params, monkeypatch):
+    """Device-resident windows on a dp mesh: the store fills on one device
+    and dispatch_batched_dp reshards each chunk over the mesh (no host
+    round-trip). Asserts the device-window path actually RAN (store.chunk
+    spy) and outputs match both the mesh host-window path and single-device."""
+    import importlib
+
+    from asr_ttl_mtl_tpu.models import whisper as W
+    from asr_ttl_mtl_tpu.models.dims import PRESET_DIMS
+    from asr_ttl_mtl_tpu.models.registry import WhisperModel
+
+    T = importlib.import_module("asr_ttl_mtl_tpu.transcribe")
+    dims = PRESET_DIMS["tiny.en"].replace(n_audio_layer=1, n_text_layer=1)
+    vocab_params = W.init_params(jax.random.PRNGKey(1), dims)
+    model = WhisperModel(dims=dims, params=vocab_params, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(31)
+    audios = [
+        (rng.randn(2 * 16000) * 0.1).astype(np.float32) for _ in range(5)
+    ]
+    common = dict(language="en", without_timestamps=True, sample_len=8,
+                  fp16=False, batch_size=4, temperature=0.0)
+
+    chunk_reads = []
+    orig_chunk = T._WindowStore.chunk
+
+    def spy(self, start):
+        chunk_reads.append(start)
+        return orig_chunk(self, start)
+
+    monkeypatch.setattr(T._WindowStore, "chunk", spy)
+    mesh = create_mesh((8, 1))
+    dev = T.transcribe_batch(model, audios, mesh=mesh, device_windows=True, **common)
+    assert chunk_reads, "mesh run did not take the device-window store path"
+    host = T.transcribe_batch(model, audios, mesh=mesh, device_windows=False, **common)
+    single = T.transcribe_batch(model, audios, **common)
+    for a, b, c in zip(dev, host, single):
+        assert a["text"] == b["text"] == c["text"]
+        assert [s["tokens"] for s in a["segments"]] == [
+            s["tokens"] for s in b["segments"]
+        ]
