@@ -129,6 +129,27 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
 
     K, C = beam_size, max_candidates
     buf_len = bucket + sample_len
+
+    def _gather_beam_cache(cache, src, BK):
+        """Per-step beam rearrange of the self-attention cache.
+
+        A whole-array axis-1 gather (c[:, src]) made XLA transpose each
+        (L, BK, ctx, D) leaf to beam-major, gather, and transpose back —
+        measured ~2.6x the gather's own r+w bytes (the round-4 beam
+        profile's copy_bitcast/pad_add chain, ~36% of the B=48 int8 step).
+        Per-layer axis-0 gathers of the contiguous (BK, ctx, D) slices need
+        no relayout: measured at HBM roofline (27 ms vs 104 for the 64-step
+        B=48 int8 call). A one-hot int8 MXU matmul permute was also tried
+        and REGRESSED — XLA lowers the contraction to s32-materializing
+        fusions, not a GEMM. Small leaves (the fp32 scale rows) keep the
+        plain gather."""
+
+        def permute(c):
+            if c.ndim != 4 or c.shape[1] != BK or c.shape[2] * c.shape[3] < 4096:
+                return c[:, src]  # small leaf: gather overhead is noise
+            return jnp.stack([c[l][src] for l in range(c.shape[0])], axis=0)
+
+        return jax.tree.map(permute, cache)
     # cache bounded to the decode horizon, 128-aligned for TPU tiling
     # (16-sublane alignment was tried and REGRESSED: 80-slot caches made
     # the decode program 2x slower — XLA re-lays-out the non-128 carries)
@@ -204,14 +225,27 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         pos = valid_len + s["i"]
         logits = _apply_filters(cfg, s["logits"], s["i"], s["prev"], s["penult"], s["last_ts"])
 
-        # materialize log_softmax BEFORE top_k: XLA's multi-pass top_k fuses
-        # its producer, so feeding it the raw filter fusion re-executes the
-        # whole mask chain per pass (measured 2x slower); a materialized
-        # buffer is read once per pass instead
-        logprobs = jax.nn.log_softmax(logits.astype(_F32), axis=-1)  # (BK, V)
+        # per-beam top-(K+1) candidates (reference decoding.py:342).
+        # lax.top_k over the (BK, ~52k) fp32 logprobs lowers to a multi-pass
+        # routine at ~64 GB/s (23 ms of the 291 ms B=48 int8 call) plus a
+        # materialized log_softmax; the Pallas kernel reads the filtered
+        # logits ONCE, computes the log_softmax row stats in VMEM, and
+        # returns bit-identical (logprob, index) pairs (ops/pallas_topk.py).
+        # Gated by the decode-kernel switch like the other loop kernels
+        # ("interpret" drives the CPU integration tests).
+        use_tk, tk_interp = W._decode_kernel_state()
+        if use_tk:
+            from .ops.pallas_topk import topk_logprobs_pallas
 
-        # per-beam top-(K+1) candidates (reference decoding.py:342)
-        top_lp, top_tok = jax.lax.top_k(logprobs, K + 1)  # (BK, K+1)
+            top_lp, top_tok = topk_logprobs_pallas(
+                logits, K + 1, interpret=tk_interp
+            )
+        else:
+            # materialize log_softmax BEFORE top_k: XLA's multi-pass top_k
+            # fuses its producer, so feeding it the raw filter fusion
+            # re-executes the whole mask chain per pass (measured 2x slower)
+            logprobs = jax.nn.log_softmax(logits.astype(_F32), axis=-1)
+            top_lp, top_tok = jax.lax.top_k(logprobs, K + 1)  # (BK, K+1)
         cand_scores = (s["sum_lp"][:, None] + top_lp).reshape(B, K * (K + 1))
         cand_tok = top_tok.reshape(B, K * (K + 1))
         cand_parent = jnp.repeat(jnp.arange(K), K + 1)[None, :].repeat(B, 0)
@@ -243,7 +277,7 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         src = (new_parent + jnp.arange(B)[:, None] * K).reshape(BK)  # global rows
         buf = s["buf"][src]
         buf = jax.lax.dynamic_update_slice(buf, new_tok.reshape(BK, 1), (0, pos))
-        cache = jax.tree.map(lambda c: c[:, src], s["cache"])
+        cache = _gather_beam_cache(s["cache"], src, BK)
         new_sum_lp = new_scores.reshape(BK)
 
         prev = new_tok.reshape(BK)
