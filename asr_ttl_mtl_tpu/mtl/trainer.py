@@ -427,9 +427,11 @@ class MultiTaskTrainer:
         """Encoder-block remat policy (config.remat): "auto" enables it on
         TPU when the stored encoder activations would approach HBM capacity
         in the fused multi-step train program. Measured OOM boundary on the
-        16 GB v5e: tiny (d=384, 4L) bs=128 and base (d=512, 6L) bs=64 both
-        exceed HBM without remat; tiny bs=64 and base bs=16 fit — the
-        product B*d*layers separates them cleanly."""
+        16 GB v5e (round 4, after bf16 training-CE logit stores shrank the
+        peak): tiny (d=384, 4L) bs=128 and base (d=512, 6L) bs=64 — product
+        B*d*layers = 196k — now FIT without remat (base bs=64: 324 -> 280
+        ms/step, MFU 15.7 -> 17.1%); base bs=128 (393k) still exceeds HBM.
+        The 200k threshold sits just above the measured-fitting product."""
         mode = getattr(self.config, "remat", "auto")
         if mode == "auto":
             d = self.model.dims.n_audio_state
@@ -440,7 +442,7 @@ class MultiTaskTrainer:
             dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
             b_local = max(1, self.config.batch_size // max(1, dp))
             return (jax.default_backend() == "tpu"
-                    and b_local * d * layers >= 190_000)
+                    and b_local * d * layers > 200_000)
         return bool(mode)
 
     def _effective_weights(self, alpha, beta, cls_loss, trans_loss):

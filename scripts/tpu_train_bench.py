@@ -39,6 +39,7 @@ def bench_one(model_size: str, B: int, dp_shard_map=True, K: int = 8):
     """Measure the fused train step at (model, batch); returns a result dict."""
     from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
 
+    remat_env = os.environ.get("REMAT")  # "0"/"1" overrides the auto policy
     config = TrainingConfig(
         model_size=model_size,
         pretrained="random",  # architecture identical to the real checkpoint
@@ -46,6 +47,7 @@ def bench_one(model_size: str, B: int, dp_shard_map=True, K: int = 8):
         compute_dtype="bfloat16",
         dp_shard_map=dp_shard_map,
         seed=0,
+        **({"remat": remat_env == "1"} if remat_env is not None else {}),
     )
     trainer = MultiTaskTrainer(config, verbose=False)
     tok = trainer.tokenizer
