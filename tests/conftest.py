@@ -115,3 +115,22 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(_pytest.mark.quick)
         if mod in _HEAVY_MODULES:
             item.add_marker(_pytest.mark.heavy)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free each module's compiled executables when it finishes.
+
+    The full single-process suite (~380 tests) accumulated enough XLA CPU
+    executables that the compiler itself segfaulted ~40 min in (inside
+    backend_compile_and_load while compiling test_parallel_hardening's tp
+    program — reproducible only with the full history, not per tier).
+    Modules share few programs, so per-module clearing costs little and
+    keeps the compiler healthy."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
