@@ -426,3 +426,11 @@ class TestMHNaturalBackward:
         assert h2_eligible(1536, 1536, 1280, 20)  # large: D-independent VMEM
         assert not h2_eligible(1536, 1536, 192, 3)  # D not a lane-tile multiple
         assert not h2_eligible(4, 1536, 512, 8)     # tiny Tq
+
+    @pytest.mark.parametrize("h", [12, 20])
+    def test_wide_model_grads(self, h):
+        """d=768 (small) and d=1280 (large) — the h2 kernels' VMEM footprint
+        is D-independent (per-program k/v is (tk, 128)), so wide models get
+        the natural-layout training path too."""
+        q, k, v = self._inputs(b=1, tq=64, tk=200, h=h, seed=30 + h)
+        self._check(q, k, v, n_head=h)
