@@ -230,7 +230,10 @@ def _beam_program(params, cross_kv, initial_tokens, valid_len, sot_index,
         # routine at ~64 GB/s (23 ms of the 291 ms B=48 int8 call) plus a
         # materialized log_softmax; the Pallas kernel reads the filtered
         # logits ONCE, computes the log_softmax row stats in VMEM, and
-        # returns bit-identical (logprob, index) pairs (ops/pallas_topk.py).
+        # returns exact indices with logprob values within ~1 ulp of the
+        # lax.top_k fallback (different logsumexp reduction order — see
+        # ops/pallas_topk.py); near-exact ties between candidates can
+        # therefore resolve differently with the kernel on vs off.
         # Gated by the decode-kernel switch like the other loop kernels
         # ("interpret" drives the CPU integration tests).
         use_tk, tk_interp = W._decode_kernel_state()

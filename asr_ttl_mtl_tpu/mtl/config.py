@@ -126,8 +126,10 @@ class TrainingConfig:
     # tests/test_fused_optim.py) but collapses the ~3000-op per-leaf
     # optimizer tail into a few lane-aligned chains. Automatically falls
     # back to the per-leaf chain when tp > 1 (sharded params cannot live in
-    # one flat buffer). Set False to force the per-leaf optax chain (e.g.
-    # to resume an orbax checkpoint written by an older per-leaf run).
+    # one flat buffer). Orbax resume checkpoints written by an older
+    # per-leaf run are detected and migrated into the flat buffers
+    # automatically (bit-identical continuation — trainer.
+    # _restore_migrating_opt_state); set False to force the per-leaf chain.
     fused_optimizer: bool = True
 
 

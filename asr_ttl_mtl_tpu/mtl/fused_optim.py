@@ -45,7 +45,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from optax._src import numerics
 
 
 class FusedAdamWState(NamedTuple):
@@ -57,6 +56,92 @@ class FusedAdamWState(NamedTuple):
 def _leaf_rows(shape: Tuple[int, ...]) -> int:
     size = int(np.prod(shape or (1,)))
     return (size + 127) // 128
+
+
+def _make_spec(labels: Any, group_hparams: Dict[str, Tuple[float, float]], params):
+    """(treedef, per-leaf (key|None, row, shape, dtype), rows per key)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    label_leaves = jax.tree_util.tree_leaves(labels)
+    if len(label_leaves) != len(leaves):
+        raise ValueError(
+            f"labels tree has {len(label_leaves)} leaves, params {len(leaves)}"
+        )
+    totals: Dict[str, int] = {}
+    entries = []
+    for leaf, lab in zip(leaves, label_leaves):
+        if lab == "frozen":
+            entries.append((None, 0, tuple(leaf.shape), leaf.dtype))
+            continue
+        if lab not in group_hparams:
+            raise ValueError(f"unknown optimizer group {lab!r}")
+        key = f"{lab}:{jnp.dtype(leaf.dtype).name}"
+        row = totals.get(key, 0)
+        entries.append((key, row, tuple(leaf.shape), leaf.dtype))
+        totals[key] = row + _leaf_rows(leaf.shape)
+    return treedef, entries, totals
+
+
+def _pack_flat(tree_leaves, entries, totals):
+    """Leaves -> {key: (rows, 128)} via one padded concatenate per key."""
+    segs: Dict[str, list] = {k: [] for k in totals}
+    for leaf, (key, _row, shape, _dt) in zip(tree_leaves, entries):
+        if key is None:
+            continue
+        size = int(np.prod(shape or (1,)))
+        rows = _leaf_rows(shape)
+        flat = jnp.ravel(leaf)
+        if rows * 128 != size:
+            flat = jnp.pad(flat, (0, rows * 128 - size))
+        segs[key].append(flat.reshape(rows, 128))
+    return {k: jnp.concatenate(v, axis=0) for k, v in segs.items()}
+
+
+def migrate_per_leaf_state(
+    labels: Any,
+    group_hparams: Dict[str, Tuple[float, float]],
+    params: Any,
+    chain_state: Any,
+) -> FusedAdamWState:
+    """Convert a per-leaf `chain(clip_by_global_norm, multi_transform(adamw
+    x groups))` optimizer state (what pre-fused-optimizer checkpoints hold)
+    into the arithmetically-identical FusedAdamWState.
+
+    The fused path's m/v buffers ARE the per-leaf mu/nu tensors packed
+    group-wise into (rows, 128) buffers, and every group's adam count
+    increments on every step, so the mapping is exact — a run resumed
+    through this migration continues bit-identically to one resumed with
+    fused_optimizer=False."""
+    treedef, entries, totals = _make_spec(labels, group_hparams, params)
+    leaves = treedef.flatten_up_to(params)
+    label_leaves = jax.tree_util.tree_leaves(labels)
+
+    partition = chain_state[1]  # (ClipState, PartitionState)
+    inner = partition.inner_states
+    per_group_mu = {}
+    per_group_nu = {}
+    counts = []
+    for g in group_hparams:
+        adam = inner[g].inner_state[0]  # MaskedState -> (ScaleByAdamState, ...)
+        per_group_mu[g] = treedef.flatten_up_to(adam.mu)
+        per_group_nu[g] = treedef.flatten_up_to(adam.nu)
+        counts.append(np.asarray(adam.count))
+    if len(set(int(c) for c in counts)) != 1:
+        raise ValueError(f"per-group adam counts disagree: {counts}")
+
+    mu_leaves, nu_leaves = [], []
+    for i, (leaf, lab) in enumerate(zip(leaves, label_leaves)):
+        if lab == "frozen":
+            mu_leaves.append(jnp.zeros_like(leaf))
+            nu_leaves.append(jnp.zeros_like(leaf))
+        else:
+            mu_leaves.append(per_group_mu[lab][i])
+            nu_leaves.append(per_group_nu[lab][i])
+
+    return FusedAdamWState(
+        count=jnp.asarray(int(counts[0]), jnp.int32),
+        m=_pack_flat(mu_leaves, entries, totals),
+        v=_pack_flat(nu_leaves, entries, totals),
+    )
 
 
 def fused_multigroup_adamw(
@@ -77,40 +162,9 @@ def fused_multigroup_adamw(
     """
 
     def _spec(params):
-        """(treedef, per-leaf (key|None, row, shape, dtype), rows per key)."""
-        leaves, treedef = jax.tree_util.tree_flatten(params)
-        label_leaves = jax.tree_util.tree_leaves(labels)
-        if len(label_leaves) != len(leaves):
-            raise ValueError(
-                f"labels tree has {len(label_leaves)} leaves, params {len(leaves)}"
-            )
-        totals: Dict[str, int] = {}
-        entries = []
-        for leaf, lab in zip(leaves, label_leaves):
-            if lab == "frozen":
-                entries.append((None, 0, tuple(leaf.shape), leaf.dtype))
-                continue
-            if lab not in group_hparams:
-                raise ValueError(f"unknown optimizer group {lab!r}")
-            key = f"{lab}:{jnp.dtype(leaf.dtype).name}"
-            row = totals.get(key, 0)
-            entries.append((key, row, tuple(leaf.shape), leaf.dtype))
-            totals[key] = row + _leaf_rows(leaf.shape)
-        return treedef, entries, totals
+        return _make_spec(labels, group_hparams, params)
 
-    def _pack(tree_leaves, entries, totals):
-        """Leaves -> {key: (rows, 128)} via one padded concatenate per key."""
-        segs: Dict[str, list] = {k: [] for k in totals}
-        for leaf, (key, _row, shape, _dt) in zip(tree_leaves, entries):
-            if key is None:
-                continue
-            size = int(np.prod(shape or (1,)))
-            rows = _leaf_rows(shape)
-            flat = jnp.ravel(leaf)
-            if rows * 128 != size:
-                flat = jnp.pad(flat, (0, rows * 128 - size))
-            segs[key].append(flat.reshape(rows, 128))
-        return {k: jnp.concatenate(v, axis=0) for k, v in segs.items()}
+    _pack = _pack_flat
 
     def init_fn(params):
         _, entries, totals = _spec(params)
@@ -150,7 +204,7 @@ def fused_multigroup_adamw(
         }
 
         # --- scale_by_adam on the flat buffers (optax 0.2.6 formulas)
-        count_inc = numerics.safe_increment(state.count)
+        count_inc = optax.safe_increment(state.count)
         m_new = {
             k: (1 - b1) * flat_g[k] + b1 * state.m[k] for k in flat_g
         }

@@ -181,16 +181,21 @@ class MultiTaskTrainer:
             # pjit/GSPMD path: the Pallas attention kernels carry no GSPMD
             # partitioning rules — under a globally-traced multi-device
             # program the einsum paths shard cleanly while pallas_call would
-            # force gathers (or fail to partition) on the head-merged inputs
-            W.set_flash_attention(False)
-            W.set_decode_kernel("off")
-        elif self._dp_shard_map:
-            # A pjit-path trainer constructed earlier in this process left the
-            # module-global kernel switches off; the shard_map path traces
-            # per-device programs where the Pallas kernels are live — restore
-            # them so this trainer doesn't silently run the einsum fallbacks.
-            W.set_flash_attention(True)
-            W.set_decode_kernel("auto")
+            # force gathers (or fail to partition) on the head-merged inputs.
+            # The switches are NOT mutated globally: every compiled-step
+            # invocation runs under _kernel_scope, which sets this state for
+            # the call (covering any retrace) and restores the ambient state
+            # after — so trainers with different paths coexist in one
+            # process and an explicit user set_kernels(False) survives.
+            self._kernel_scope_state = (False, "off")
+        else:
+            # shard_map / single-device: per-device local-shape traces where
+            # the Pallas kernels are live. Capture the ambient switches at
+            # construction so a user's explicit set_kernels(False) is
+            # honored, while a pjit trainer's scoped "off" cannot leak in.
+            self._kernel_scope_state = (
+                W._FLASH["enabled"], W._FLASH["decode_kernel"]
+            )
         self._shard_all()
 
         self.optimizer = self._build_optimizer()
@@ -256,20 +261,35 @@ class MultiTaskTrainer:
         self.model.params = tr["model"]
         self.classifier_params = tr["classifier"]
 
-    def _build_optimizer(self) -> optax.GradientTransformation:
+    def _optimizer_label(self, path, _leaf):
+        """Param-group label for one leaf (reference trainer.py:139-198)."""
+        names = [str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k)))) for k in path]
+        if names[0] == "classifier":
+            return "classifier"
+        if names[1] == "encoder":
+            return "frozen" if self.config.freeze_encoder else "encoder"
+        if names[1] == "decoder" and names[2] == "token_embedding":
+            return "embeddings"
+        return "decoder"
+
+    def _optimizer_labels(self, tree=None):
+        return jax.tree_util.tree_map_with_path(
+            self._optimizer_label, tree if tree is not None else self._trainable()
+        )
+
+    def _optimizer_hparams(self) -> Dict[str, Tuple[float, float]]:
+        lr, wd = self.config.learning_rate, self.config.weight_decay
+        return {
+            "encoder": (lr * 0.1, wd),
+            "decoder": (lr * 0.3, wd),
+            "embeddings": (lr * 1.0, 0.0),
+            "classifier": (lr * 1.0, wd),
+        }
+
+    def _build_optimizer(self, force_per_leaf: bool = False) -> optax.GradientTransformation:
         """Global-norm clip + 4-group AdamW (reference trainer.py:139-198)."""
         cfg = self.config
         lr, wd = cfg.learning_rate, cfg.weight_decay
-
-        def label(path, _leaf):
-            names = [str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k)))) for k in path]
-            if names[0] == "classifier":
-                return "classifier"
-            if names[1] == "encoder":
-                return "frozen" if cfg.freeze_encoder else "encoder"
-            if names[1] == "decoder" and names[2] == "token_embedding":
-                return "embeddings"
-            return "decoder"
 
         def adamw(lr_scale, weight_decay):
             return optax.adamw(
@@ -281,18 +301,12 @@ class MultiTaskTrainer:
         # buffers cannot carry per-leaf NamedShardings, so tp>1 (sharded
         # params) keeps the per-leaf chain.
         tp = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
-        if getattr(cfg, "fused_optimizer", True) and tp == 1:
+        if getattr(cfg, "fused_optimizer", True) and tp == 1 and not force_per_leaf:
             from .fused_optim import fused_multigroup_adamw
 
-            label_tree = jax.tree_util.tree_map_with_path(label, self._trainable())
-            hparams = {
-                "encoder": (lr * 0.1, wd),
-                "decoder": (lr * 0.3, wd),
-                "embeddings": (lr * 1.0, 0.0),
-                "classifier": (lr * 1.0, wd),
-            }
             return fused_multigroup_adamw(
-                label_tree, hparams, cfg.gradient_clip_norm
+                self._optimizer_labels(), self._optimizer_hparams(),
+                cfg.gradient_clip_norm
             )
 
         groups = {
@@ -302,13 +316,40 @@ class MultiTaskTrainer:
             "classifier": adamw(1.0, wd),
             "frozen": optax.set_to_zero(),
         }
-        labels = lambda tree: jax.tree_util.tree_map_with_path(label, tree)  # noqa: E731
         return optax.chain(
             optax.clip_by_global_norm(cfg.gradient_clip_norm),
-            optax.multi_transform(groups, labels),
+            optax.multi_transform(groups, self._optimizer_labels),
         )
 
     # --- the compiled steps --------------------------------------------------
+
+    def _kernel_scope(self):
+        """Set the module-global Pallas kernel switches to this trainer's
+        required state for the duration of a compiled-step call (traces — and
+        retraces on new batch shapes — happen inside the call), restoring the
+        ambient state after. Keeps the pjit path's kernels-off requirement
+        from leaking into other trainers or stomping user overrides."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            saved = (W._FLASH["enabled"], W._FLASH["decode_kernel"])
+            W._FLASH["enabled"], W._FLASH["decode_kernel"] = self._kernel_scope_state
+            try:
+                yield
+            finally:
+                W._FLASH["enabled"], W._FLASH["decode_kernel"] = saved
+
+        return scope()
+
+    def _scoped(self, fn):
+        """Wrap a compiled step so every invocation runs under _kernel_scope."""
+
+        def wrapper(*args, **kwargs):
+            with self._kernel_scope():
+                return fn(*args, **kwargs)
+
+        return wrapper
 
     def _forward(self, trainable, audio, input_tokens, target_tokens, classes,
                  rng, train: bool, n_valid=None, shard_axis: Optional[str] = None):
@@ -511,11 +552,11 @@ class MultiTaskTrainer:
                 out_specs=(P(), P(), P(), self._aux_specs(self._TRAIN_AUX_KEYS)),
                 check_vma=False,
             )
-            self._train_step = jax.jit(fn, donate_argnums=(0, 1))
+            self._train_step = self._scoped(jax.jit(fn, donate_argnums=(0, 1)))
         else:
             # shard_axis stays at its Python default (None) and is never
             # passed by callers, so it is a trace-time constant under jit
-            self._train_step = jax.jit(step, donate_argnums=(0, 1))
+            self._train_step = self._scoped(jax.jit(step, donate_argnums=(0, 1)))
         return self._train_step
 
     def _kstep_core(self, trainable, opt_state, audio, input_tokens,
@@ -578,6 +619,7 @@ class MultiTaskTrainer:
             )
         else:
             fn = jax.jit(self._kstep_core, donate_argnums=(0, 1))
+        fn = self._scoped(fn)
         self._train_scan_steps[k] = fn
         return fn
 
@@ -678,7 +720,7 @@ class MultiTaskTrainer:
             )
             return self._pack_tree((trainable, opt_state)), rng, losses, auxs
 
-        fn = jax.jit(pkstep, donate_argnums=(0,))
+        fn = self._scoped(jax.jit(pkstep, donate_argnums=(0,)))
         self._packed_scan_steps[k] = fn
         return fn
 
@@ -699,7 +741,7 @@ class MultiTaskTrainer:
 
         if self._dp_shard_map:
             keys = self._TRAIN_AUX_KEYS + ("combined",)
-            self._eval_step = jax.jit(
+            self._eval_step = self._scoped(jax.jit(
                 jax.shard_map(
                     partial(step, shard_axis="dp"),
                     mesh=self.mesh,
@@ -708,9 +750,9 @@ class MultiTaskTrainer:
                     out_specs=self._aux_specs(keys),
                     check_vma=False,
                 )
-            )
+            ))
         else:
-            self._eval_step = jax.jit(step)
+            self._eval_step = self._scoped(jax.jit(step))
         return self._eval_step
 
     def _device_batch(self, batch: Dict, pad_to_multiple: Optional[int] = None):
@@ -1194,16 +1236,63 @@ class MultiTaskTrainer:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(directory, "meta.json"))
 
+    def _restore_migrating_opt_state(self, ckptr, state_dir: str,
+                                     orig_err: Exception) -> Dict:
+        """Fallback for resume checkpoints written by a pre-fused-optimizer
+        run: when the structural restore against the fused template fails and
+        this trainer uses the fused optimizer, retry with the per-leaf optax
+        chain template and convert its state into the arithmetically
+        identical FusedAdamWState (fused_optim.migrate_per_leaf_state) — the
+        resumed run continues bit-identically. Any other mismatch re-raises
+        with the fused_optimizer=False escape hatch named."""
+        from .fused_optim import FusedAdamWState, migrate_per_leaf_state
+
+        if not isinstance(self.opt_state, FusedAdamWState):
+            raise RuntimeError(
+                f"resume checkpoint at {state_dir} does not match this "
+                "trainer's optimizer state structure. If it was written by a "
+                "run with fused_optimizer=True, construct the trainer with "
+                "the same setting."
+            ) from orig_err
+        per_leaf = self._build_optimizer(force_per_leaf=True)
+        template = dict(self._resume_pytree())
+        template["opt_state"] = jax.device_get(per_leaf.init(self._trainable()))
+        try:
+            state = ckptr.restore(state_dir, template)
+        except Exception:
+            raise RuntimeError(
+                f"resume checkpoint at {state_dir} matches neither the fused "
+                "flat-buffer optimizer state nor the per-leaf optax chain. "
+                "If it was written with a different TrainingConfig "
+                "(fused_optimizer / freeze_encoder / model size), construct "
+                "the trainer with that config (fused_optimizer=False selects "
+                "the per-leaf chain)."
+            ) from orig_err
+        self._log(
+            "resume: migrated per-leaf optimizer state (pre-fused-optimizer "
+            "checkpoint) into fused flat buffers"
+        )
+        state["opt_state"] = migrate_per_leaf_state(
+            self._optimizer_labels(), self._optimizer_hparams(),
+            {"model": state["params"], "classifier": state["classifier"]},
+            state["opt_state"],
+        )
+        return state
+
     def restore_resume_state(self, directory: str) -> Dict:
         """Restore params/classifier/optimizer/PRNG + loop counters saved by
         save_resume_state. Returns the meta dict."""
         import orbax.checkpoint as ocp
 
         directory = os.path.abspath(directory)
+        state_dir = os.path.join(directory, "state")
         with ocp.StandardCheckpointer() as ckptr:
-            state = ckptr.restore(
-                os.path.join(directory, "state"), self._resume_pytree()
-            )
+            try:
+                state = ckptr.restore(state_dir, self._resume_pytree())
+            except Exception as orig_err:
+                state = self._restore_migrating_opt_state(
+                    ckptr, state_dir, orig_err
+                )
         self.model.params = shard_params(state["params"], self.mesh)
         self.classifier_params = jax.device_put(state["classifier"], replicated(self.mesh))
         # restore the optimizer state with the SAME shardings optimizer.init

@@ -578,6 +578,7 @@ class _WindowStore:
         self.total = total
         self._cond = threading.Condition()
         self._error: Optional[BaseException] = None
+        self._done = False
 
     def append(self, win: jnp.ndarray) -> None:
         slot = self.count % self.program_b
@@ -595,6 +596,15 @@ class _WindowStore:
             self._error = err
             self._cond.notify_all()
 
+    def finish(self) -> None:
+        """Producer is done appending. Readers still waiting for windows
+        beyond `count` then error out instead of re-waiting forever — guards
+        against any drift between _window_metadata's and _fill_window_store's
+        seek arithmetic turning into a silent hang."""
+        with self._cond:
+            self._done = True
+            self._cond.notify_all()
+
     def _wait_for(self, n: int) -> None:
         """Block until at least n windows are stored (no-op when the store
         was filled synchronously)."""
@@ -606,6 +616,12 @@ class _WindowStore:
                     raise RuntimeError(
                         "window-store producer failed"
                     ) from self._error
+                if self._done:
+                    raise RuntimeError(
+                        f"window-store producer finished after {self.count} "
+                        f"windows but a reader needs {n} — window metadata "
+                        "and producer seek arithmetic disagree"
+                    )
                 self._cond.wait(timeout=1.0)
 
     def chunk(self, start: int) -> jnp.ndarray:
@@ -740,6 +756,8 @@ def _fill_window_store_async(model, decoded, store: "_WindowStore"):
             _fill_window_store(model, decoded, store)
         except BaseException as e:  # noqa: BLE001 — must unblock readers
             store.fail(e)
+        else:
+            store.finish()
 
     t = threading.Thread(target=produce, daemon=True, name="window-store-producer")
     t.start()
