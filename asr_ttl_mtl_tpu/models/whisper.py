@@ -548,6 +548,7 @@ def decoder_apply(
     return_cross_qk: bool = False,
     logits_slice: Optional[int] = None,  # keep only the last N positions' logits
     logits_dtype: Optional[jnp.dtype] = None,  # None = fp32 (default contract)
+    return_hidden: bool = False,  # skip the vocab projection, return (B,T,D)
 ) -> Tuple[jnp.ndarray, Optional[Params], Optional[jnp.ndarray]]:
     """Run the text decoder over `tokens`.
 
@@ -719,10 +720,16 @@ def decoder_apply(
     x = layer_norm(p["ln"], x)
     if logits_slice is not None:
         x = x[:, -logits_slice:]
-    logits = jnp.matmul(
-        x, embed.T.astype(x.dtype), preferred_element_type=_F32
-    )  # tied embeddings (reference model.py:245-247)
-    if logits_dtype is not None:
+    if return_hidden:
+        # training's chunked cross-entropy (ops/chunked_xent.py) applies the
+        # tied-embedding projection itself, per row-chunk, so the full
+        # (B, T, n_vocab) logits tensor is never materialized
+        logits = x
+    else:
+        logits = jnp.matmul(
+            x, embed.T.astype(x.dtype), preferred_element_type=_F32
+        )  # tied embeddings (reference model.py:245-247)
+    if not return_hidden and logits_dtype is not None:
         # serving decode loops store the per-step (B, V) logits in the
         # compute dtype (f32 accumulation, rounded store): at B=192 base the
         # fp32 logit tensors were ~24 ms/window of pure HBM traffic across

@@ -121,6 +121,18 @@ class TrainingConfig:
     # activations — what HBM-OOMs the fused train step at batch >= 128.
     # "auto" (default) enables it when batch_size >= 96 on TPU.
     remat: object = "auto"
+    # chunked training cross-entropy (ops/chunked_xent.py): compute the CE
+    # fwd+bwd per row-chunk from the (B, T, d) hidden states so the
+    # (B, T, 51869) logits tensor is never materialized — removes training's
+    # largest activation (the round-4 OOM wall at base bs>=128) for one
+    # extra backward matmul. "auto" (default) = on for single-device and
+    # dp-shard_map steps, off on the pjit/GSPMD path. Eval always keeps the
+    # materialized fp32 logits (bit-unchanged teacher-forced semantics).
+    chunked_ce: object = "auto"
+    # rows per chunk in the chunked CE scan: transient is
+    # (ce_chunk_rows, n_vocab) f32 (~106 MB at 512); >=256 keeps the MXU
+    # busy, smaller trims transient memory further
+    ce_chunk_rows: int = 512
     # fused flat-buffer 4-group AdamW (mtl/fused_optim.py): arithmetically
     # identical to the per-leaf optax chain (bit-parity differential in
     # tests/test_fused_optim.py) but collapses the ~3000-op per-leaf

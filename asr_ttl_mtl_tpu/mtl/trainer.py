@@ -401,25 +401,46 @@ class MultiTaskTrainer:
         )
         cls_loss, cls_per_row = cross_entropy(disease_logits, classes)
 
-        # Training under bf16 compute stores the (B, T, V) logits in bf16 —
-        # the CE log_softmax upcasts to fp32 in-fusion, so only the HBM
-        # stores/reads round (same contract as the serving decode loops'
-        # bf16 logit stores; the fp32[64,48,51869] tensor's ~5 roofline
-        # passes were ~4% of the tiny bs=64 step). Eval (train=False) keeps
-        # the fp32 logits contract so teacher-forced WER semantics and the
-        # CPU differential tests are bit-unchanged.
-        logits_dtype = (
-            self.compute_dtype
-            if (train and self.compute_dtype == jnp.bfloat16)
-            else None
-        )
-        trans_logits, _, _ = W.decoder_apply(
-            params, dims, input_tokens, feats, compute_dtype=self.compute_dtype,
-            logits_dtype=logits_dtype,
-        )
-        trans_loss, trans_row_sum, trans_row_cnt = cross_entropy_ignore_index(
-            trans_logits, target_tokens
-        )
+        if train and self._use_chunked_ce():
+            # Chunked CE (ops/chunked_xent.py): the decoder returns the
+            # (B, T, d) hidden states and the tied-embedding projection +
+            # softmax-CE run per row-chunk in f32 — the (B, T, 51869)
+            # training logits tensor (the largest activation; the round-4
+            # OOM wall at base bs>=128) is never materialized, forward or
+            # backward. Eval (train=False) keeps the materialized fp32
+            # logits contract so teacher-forced WER semantics and the CPU
+            # differential tests are bit-unchanged.
+            hidden, _, _ = W.decoder_apply(
+                params, dims, input_tokens, feats,
+                compute_dtype=self.compute_dtype, return_hidden=True,
+            )
+            from ..ops.chunked_xent import chunked_softmax_xent
+
+            token_loss, pred_tokens = chunked_softmax_xent(
+                hidden, params["decoder"]["token_embedding"], target_tokens,
+                row_chunk=self.config.ce_chunk_rows,
+            )
+            trans_row_sum = token_loss.sum(axis=-1)
+            trans_row_cnt = (target_tokens != -100).sum(axis=-1)
+            trans_loss = trans_row_sum.sum() / jnp.maximum(trans_row_cnt.sum(), 1)
+        else:
+            # Training under bf16 compute stores the (B, T, V) logits in
+            # bf16 — the CE log_softmax upcasts to fp32 in-fusion, so only
+            # the HBM stores/reads round (same contract as the serving
+            # decode loops' bf16 logit stores). Eval keeps fp32 logits.
+            logits_dtype = (
+                self.compute_dtype
+                if (train and self.compute_dtype == jnp.bfloat16)
+                else None
+            )
+            trans_logits, _, _ = W.decoder_apply(
+                params, dims, input_tokens, feats, compute_dtype=self.compute_dtype,
+                logits_dtype=logits_dtype,
+            )
+            trans_loss, trans_row_sum, trans_row_cnt = cross_entropy_ignore_index(
+                trans_logits, target_tokens
+            )
+            pred_tokens = jnp.argmax(trans_logits, axis=-1)
 
         if shard_axis is not None:
             # Global masked means across shards. The psum must stay OFF the
@@ -460,9 +481,20 @@ class MultiTaskTrainer:
             "trans_row_count": trans_row_cnt,
             "disease_preds": jnp.argmax(disease_logits, axis=-1),
             "disease_probs": jax.nn.softmax(disease_logits, axis=-1),
-            "pred_tokens": jnp.argmax(trans_logits, axis=-1),
+            "pred_tokens": pred_tokens,
         }
         return cls_loss, trans_loss, aux
+
+    def _use_chunked_ce(self) -> bool:
+        """Chunked-CE policy (config.chunked_ce): "auto" enables it wherever
+        the train step traces per-device shapes — single device or the dp
+        shard_map path. The pjit/GSPMD path (tp > 1 or dp_shard_map=False on
+        a mesh) keeps the materialized logits: the chunk scan's flatten +
+        scatter-add have no clean GSPMD partitioning over a sharded batch."""
+        mode = getattr(self.config, "chunked_ce", "auto")
+        if mode == "auto":
+            return self.mesh.size == 1 or self._dp_shard_map
+        return bool(mode)
 
     def _use_remat(self) -> bool:
         """Encoder-block remat policy (config.remat): "auto" enables it on

@@ -37,6 +37,10 @@ BASE_CFG = dict(
     compute_dtype="float32",
     batch_size=16,
     seed=0,
+    # these tests pin shard_map-vs-pjit equivalence with the CE algorithm
+    # held constant; the pjit path has no chunked CE, so both run
+    # materialized. Chunked-CE dp parity is tested separately below.
+    chunked_ce=False,
 )
 
 
@@ -61,8 +65,8 @@ def _make_batch(B, tok, seed=0):
     }
 
 
-def _trainer(dp_shard_map, mesh_shape=(8, 1)):
-    cfg = TrainingConfig(**BASE_CFG, mesh_shape=mesh_shape,
+def _trainer(dp_shard_map, mesh_shape=(8, 1), **overrides):
+    cfg = TrainingConfig(**{**BASE_CFG, **overrides}, mesh_shape=mesh_shape,
                          dp_shard_map=dp_shard_map)
     return MultiTaskTrainer(cfg, verbose=False)
 
@@ -211,3 +215,24 @@ def test_epoch_level_equivalence():
             metrics["sm"][1].get(key, 0.0), metrics["pj"][1].get(key, 0.0),
             rtol=0, atol=1e-5, err_msg=f"val {key}")
     assert metrics["sm"][0]["disease_acc"] == metrics["pj"][0]["disease_acc"]
+
+
+def test_chunked_ce_dp_parity():
+    """Chunked CE under shard_map dp=8 vs a single-device ("force") chunked
+    step on the same global batch: losses/params must agree to all-reduce
+    reassociation noise — the chunked path's row flattening is per-shard, so
+    dp must not change which rows see which chunk arithmetic."""
+    tr_dp = _trainer(True, chunked_ce=True)
+    assert tr_dp._use_chunked_ce()
+    batch = _make_batch(16, tr_dp.tokenizer)
+    l_dp, p_dp, aux_dp = _run_steps(tr_dp, batch)
+
+    tr_1 = _trainer("force", mesh_shape=(1, 1), chunked_ce=True)
+    assert tr_1._use_chunked_ce()
+    l_1, p_1, aux_1 = _run_steps(tr_1, batch)
+
+    np.testing.assert_allclose(l_dp, l_1, rtol=0, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+    assert np.array_equal(np.asarray(aux_dp["pred_tokens"]),
+                          np.asarray(aux_1["pred_tokens"]))
