@@ -143,6 +143,19 @@ class TrainingConfig:
     # automatically (bit-identical continuation — trainer.
     # _restore_migrating_opt_state); set False to force the per-leaf chain.
     fused_optimizer: bool = True
+    # storage dtype for the fused optimizer's m/v buffers. "float32"
+    # (default) is bit-identical to the per-leaf optax chain; "bfloat16"
+    # halves optimizer-state HBM (what lets whisper-medium fine-tune on one
+    # 16 GB chip) — the update math still runs in f32 from upcast moments,
+    # only the stored state rounds. Convergence differential vs fp32
+    # moments in tests/test_fused_optim.py.
+    optimizer_moment_dtype: str = "float32"
+    # ZeRO-1: row-shard the fused optimizer's (rows, 128) m/v buffers over
+    # the dp axis (each device stores and updates rows/dp of the optimizer
+    # state, then all-gathers the per-group adam terms for the apply).
+    # Bit-identical to the replicated update. Requires the dp shard_map
+    # path with dp > 1; ignored otherwise.
+    zero1: bool = False
 
 
 DISORDER_TYPE = {0: "Normal", 1: "Dysphonia", 2: "Dysarthria"}

@@ -32,14 +32,32 @@ Buffer handles per dispatch drop too: m+v shrink from ~360 leaves to ~9
 buffers, which on tunnel-attached TPUs saves ~0.6 ms/handle of dispatch
 marshalling (PERF.md "Known environment effects").
 
-Constraint: flat buffers cannot carry per-leaf NamedShardings, so this path
-is for replicated-parameter training (dp via pjit or shard_map). The trainer
-falls back to the per-leaf optax chain when tp > 1 shards parameters.
+Sharded-training extensions (round 5):
+
+  * tp > 1 / pjit meshes: the flat buffers stay replicated; GSPMD
+    all-gathers each tp-sharded grad leaf into its buffer segment during
+    packing and reshards the per-leaf update slice back at apply. The
+    optimizer math is replicated (cheap at these model sizes) but the
+    ~3000-op per-leaf dispatch tail is still gone.
+  * ZeRO-1 over dp (`zero_axis`): each (rows, 128) m/v buffer is row-sharded
+    over the dp axis of the surrounding shard_map — every device stores and
+    updates only rows/dp of the optimizer state (the flat row-aligned layout
+    makes the shard a contiguous row range), then the per-group adam terms
+    are all-gathered for the per-leaf apply. The update arithmetic is
+    bit-identical to the unsharded one (elementwise math on disjoint row
+    ranges + exact all-gather — standalone differential in
+    test_fused_optim.py); inside a full train step the two programs'
+    fusion contexts can FMA-contract differently (~1 fp32 ulp, measured).
+  * `moment_dtype=bfloat16`: m/v buffers stored in bf16 (halves optimizer
+    HBM — what lets whisper-medium's 769M-param state fit one 16 GB chip);
+    each step's math runs in f32 from upcast moments, storing rounded.
+    NOT bit-identical to fp32 moments — convergence differential in
+    tests/test_fused_optim.py.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +74,10 @@ class FusedAdamWState(NamedTuple):
 def _leaf_rows(shape: Tuple[int, ...]) -> int:
     size = int(np.prod(shape or (1,)))
     return (size + 127) // 128
+
+
+def _round_up(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
 
 
 def _make_spec(labels: Any, group_hparams: Dict[str, Tuple[float, float]], params):
@@ -151,6 +173,9 @@ def fused_multigroup_adamw(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    moment_dtype: Any = jnp.float32,
+    zero_axis: Optional[str] = None,
+    zero_size: int = 1,
 ) -> optax.GradientTransformation:
     """One GradientTransformation equivalent to
     chain(clip_by_global_norm(clip_norm), multi_transform({g: adamw(lr_g,
@@ -159,21 +184,30 @@ def fused_multigroup_adamw(
     `labels`: pytree congruent with params mapping each leaf to a group name
     (a key of `group_hparams`) or "frozen" (updates forced to zero, no state).
     `group_hparams`: group -> (learning_rate, weight_decay).
+    `moment_dtype`: storage dtype of the m/v buffers (fp32 default is
+    bit-identical to the per-leaf chain; bf16 halves optimizer HBM, math
+    still runs in f32 from upcast moments).
+    `zero_axis`/`zero_size`: ZeRO-1 — update_fn must then run inside a
+    shard_map over `zero_axis` with the m/v buffers row-sharded
+    (P(zero_axis)) over it; init_fn returns the FULL (row-padded) buffers
+    for the caller to device_put with that sharding. Gradients arriving at
+    update_fn must already be the global (psum'd) gradients.
     """
+    moment_dtype = jnp.dtype(moment_dtype)
 
     def _spec(params):
         return _make_spec(labels, group_hparams, params)
 
     _pack = _pack_flat
 
+    def _padded(rows: int) -> int:
+        return _round_up(rows, zero_size) if zero_axis else rows
+
     def init_fn(params):
         _, entries, totals = _spec(params)
-        dtypes = {}
-        for key, _row, _shape, dt in entries:
-            if key is not None:
-                dtypes[key] = dt
         zeros = {
-            k: jnp.zeros((rows, 128), dtype=dtypes[k]) for k, rows in totals.items()
+            k: jnp.zeros((_padded(rows), 128), dtype=moment_dtype)
+            for k, rows in totals.items()
         }
         return FusedAdamWState(
             count=jnp.zeros([], jnp.int32),
@@ -203,21 +237,52 @@ def fused_multigroup_adamw(
             for k, g in flat_g.items()
         }
 
-        # --- scale_by_adam on the flat buffers (optax 0.2.6 formulas)
+        if zero_axis is not None:
+            # ZeRO-1: this device updates only its contiguous row range of
+            # each buffer. state.m/v arrive LOCAL ((padded_rows/dp, 128) —
+            # shard_map split them); slice the matching grad rows.
+            idx = jax.lax.axis_index(zero_axis)
+            local_g = {}
+            for k, g in flat_g.items():
+                pad = _padded(totals[k]) - totals[k]
+                if pad:
+                    g = jnp.pad(g, ((0, pad), (0, 0)))
+                loc = _padded(totals[k]) // zero_size
+                local_g[k] = jax.lax.dynamic_slice(g, (idx * loc, 0), (loc, 128))
+            work_g = local_g
+        else:
+            work_g = flat_g
+
+        # --- scale_by_adam on the flat buffers (optax 0.2.6 formulas).
+        # With fp32 moments the astype calls are no-ops and the arithmetic
+        # is bit-identical to the per-leaf chain; with bf16 moments the
+        # math runs in f32 from upcast state and stores rounded.
         count_inc = optax.safe_increment(state.count)
-        m_new = {
-            k: (1 - b1) * flat_g[k] + b1 * state.m[k] for k in flat_g
+        m_new_f = {
+            k: (1 - b1) * work_g[k] + b1 * state.m[k].astype(work_g[k].dtype)
+            for k in work_g
         }
-        v_new = {
-            k: (1 - b2) * (flat_g[k] ** 2) + b2 * state.v[k] for k in flat_g
+        v_new_f = {
+            k: (1 - b2) * (work_g[k] ** 2) + b2 * state.v[k].astype(work_g[k].dtype)
+            for k in work_g
         }
         bc1 = 1 - b1**count_inc
         bc2 = 1 - b2**count_inc
         adam = {
-            k: (m_new[k] / bc1.astype(m_new[k].dtype))
-            / (jnp.sqrt(v_new[k] / bc2.astype(v_new[k].dtype)) + eps)
-            for k in m_new
+            k: (m_new_f[k] / bc1.astype(m_new_f[k].dtype))
+            / (jnp.sqrt(v_new_f[k] / bc2.astype(v_new_f[k].dtype)) + eps)
+            for k in m_new_f
         }
+        m_new = {k: m.astype(moment_dtype) for k, m in m_new_f.items()}
+        v_new = {k: v.astype(moment_dtype) for k, v in v_new_f.items()}
+
+        if zero_axis is not None:
+            # reassemble the full adam term for the per-leaf apply (exact:
+            # concatenation of disjoint row ranges)
+            adam = {
+                k: jax.lax.all_gather(a, zero_axis, axis=0, tiled=True)
+                for k, a in adam.items()
+            }
 
         # --- per leaf: slice the adam term back out and finish with
         # add_decayed_weights + scale(-lr); XLA fuses this 3-op chain into

@@ -199,7 +199,9 @@ class MultiTaskTrainer:
         self._shard_all()
 
         self.optimizer = self._build_optimizer()
-        self.opt_state = self.optimizer.init(self._trainable())
+        self.opt_state = self._place_opt_state(
+            self.optimizer.init(self._trainable())
+        )
 
         self.alpha = float(config.alpha)
         self.beta = float(config.beta)
@@ -261,6 +263,49 @@ class MultiTaskTrainer:
         self.model.params = tr["model"]
         self.classifier_params = tr["classifier"]
 
+    def _use_zero1(self) -> bool:
+        """ZeRO-1 optimizer-state sharding over dp: opt-in (config.zero1),
+        needs the shard_map dp path (the fused update slices/all-gathers by
+        explicit axis index) and a real dp axis to shard over."""
+        return (
+            bool(getattr(self.config, "zero1", False))
+            and getattr(self.config, "fused_optimizer", True)
+            and self._dp_shard_map
+            and int(self.mesh.shape.get("dp", 1)) > 1
+        )
+
+    def _opt_state_spec(self):
+        """shard_map in/out spec for the optimizer state: replicated
+        normally; under ZeRO-1 the m/v buffers row-shard over dp."""
+        if not self._use_zero1():
+            return P()
+        from .fused_optim import FusedAdamWState
+
+        assert isinstance(self.opt_state, FusedAdamWState)
+        return FusedAdamWState(
+            count=P(),
+            m={k: P("dp") for k in self.opt_state.m},
+            v={k: P("dp") for k in self.opt_state.v},
+        )
+
+    def _place_opt_state(self, opt_state):
+        """Give a freshly-initialized fused optimizer state its mesh
+        placement: ZeRO-1 row-shards m/v over dp, any other multi-device
+        mesh replicates (deterministic layout for donation + orbax resume)."""
+        from .fused_optim import FusedAdamWState
+
+        if not isinstance(opt_state, FusedAdamWState) or self.mesh.size == 1:
+            return opt_state
+        if self._use_zero1():
+            row = jax.sharding.NamedSharding(self.mesh, P("dp"))
+            rep = replicated(self.mesh)
+            return FusedAdamWState(
+                count=jax.device_put(opt_state.count, rep),
+                m={k: jax.device_put(v, row) for k, v in opt_state.m.items()},
+                v={k: jax.device_put(v, row) for k, v in opt_state.v.items()},
+            )
+        return jax.device_put(opt_state, replicated(self.mesh))
+
     def _optimizer_label(self, path, _leaf):
         """Param-group label for one leaf (reference trainer.py:139-198)."""
         names = [str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k)))) for k in path]
@@ -297,16 +342,22 @@ class MultiTaskTrainer:
             )
 
         # Fused flat-buffer path (default): same arithmetic, ~4 elementwise
-        # chains instead of a per-leaf tail (see mtl/fused_optim.py). Flat
-        # buffers cannot carry per-leaf NamedShardings, so tp>1 (sharded
-        # params) keeps the per-leaf chain.
-        tp = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
-        if getattr(cfg, "fused_optimizer", True) and tp == 1 and not force_per_leaf:
+        # chains instead of a per-leaf tail (see mtl/fused_optim.py). On
+        # tp>1/pjit meshes the buffers stay replicated (GSPMD gathers each
+        # sharded grad leaf into its segment); on dp shard_map meshes the
+        # m/v buffers optionally row-shard over dp (ZeRO-1, config.zero1).
+        if getattr(cfg, "fused_optimizer", True) and not force_per_leaf:
             from .fused_optim import fused_multigroup_adamw
 
+            zero_axis, zero_size = (None, 1)
+            if self._use_zero1():
+                zero_axis = "dp"
+                zero_size = int(self.mesh.shape.get("dp", 1))
             return fused_multigroup_adamw(
                 self._optimizer_labels(), self._optimizer_hparams(),
-                cfg.gradient_clip_norm
+                cfg.gradient_clip_norm,
+                moment_dtype=getattr(cfg, "optimizer_moment_dtype", "float32"),
+                zero_axis=zero_axis, zero_size=zero_size,
             )
 
         groups = {
@@ -576,12 +627,13 @@ class MultiTaskTrainer:
             return trainable, opt_state, loss, aux
 
         if self._dp_shard_map:
+            opt_spec = self._opt_state_spec()
             fn = jax.shard_map(
                 partial(step, shard_axis="dp"),
                 mesh=self.mesh,
-                in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                in_specs=(P(), opt_spec, P("dp"), P("dp"), P("dp"), P("dp"),
                           P(), P(), P(), P()),
-                out_specs=(P(), P(), P(), self._aux_specs(self._TRAIN_AUX_KEYS)),
+                out_specs=(P(), opt_spec, P(), self._aux_specs(self._TRAIN_AUX_KEYS)),
                 check_vma=False,
             )
             self._train_step = self._scoped(jax.jit(fn, donate_argnums=(0, 1)))
@@ -637,13 +689,14 @@ class MultiTaskTrainer:
         if k in self._train_scan_steps:
             return self._train_scan_steps[k]
         if self._dp_shard_map:
+            opt_spec = self._opt_state_spec()
             fn = jax.jit(
                 jax.shard_map(
                     partial(self._kstep_core, shard_axis="dp"),
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P(None, "dp"), P(None, "dp"),
+                    in_specs=(P(), opt_spec, P(None, "dp"), P(None, "dp"),
                               P(None, "dp"), P(None, "dp"), P(), P(), P(), P()),
-                    out_specs=(P(), P(), P(), P(),
+                    out_specs=(P(), opt_spec, P(), P(),
                                self._aux_specs(self._TRAIN_AUX_KEYS, stacked=True)),
                     check_vma=False,
                 ),
@@ -1304,12 +1357,35 @@ class MultiTaskTrainer:
             "resume: migrated per-leaf optimizer state (pre-fused-optimizer "
             "checkpoint) into fused flat buffers"
         )
-        state["opt_state"] = migrate_per_leaf_state(
+        migrated = migrate_per_leaf_state(
             self._optimizer_labels(), self._optimizer_hparams(),
             {"model": state["params"], "classifier": state["classifier"]},
             state["opt_state"],
         )
+        state["opt_state"] = self._adapt_migrated_state(migrated)
         return state
+
+    def _adapt_migrated_state(self, st):
+        """Bring a migrated (f32, unpadded) FusedAdamWState to this
+        trainer's buffer layout: moment dtype cast + ZeRO row padding."""
+        from .fused_optim import FusedAdamWState, _round_up
+
+        md = jnp.dtype(getattr(self.config, "optimizer_moment_dtype", "float32"))
+        dp = int(self.mesh.shape.get("dp", 1)) if self._use_zero1() else 1
+
+        def fix(buf):
+            buf = jnp.asarray(buf).astype(md)
+            if dp > 1:
+                pad = _round_up(buf.shape[0], dp) - buf.shape[0]
+                if pad:
+                    buf = jnp.pad(buf, ((0, pad), (0, 0)))
+            return buf
+
+        return FusedAdamWState(
+            count=st.count,
+            m={k: fix(v) for k, v in st.m.items()},
+            v={k: fix(v) for k, v in st.v.items()},
+        )
 
     def restore_resume_state(self, directory: str) -> Dict:
         """Restore params/classifier/optimizer/PRNG + loop counters saved by
