@@ -580,3 +580,31 @@ def test_words_mode_reuses_decode_features(batch_model, short_waves, long_wave, 
     assert gathers, "alignment did not read the decode-phase feature store"
     host = T.transcribe_batch(model, inputs, device_windows=False, **kwargs)
     assert host == dev
+
+
+def test_batch_beam_with_word_timestamps_matches_sequential(en_models):
+    """transcribe_batch composing beam_size with word_timestamps (r4-verdict
+    coverage gap): single-window inputs must reproduce sequential
+    transcribe() exactly — beam picks the sequences, the batched alignment
+    times the words of those beam outputs."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe, transcribe_batch
+
+    _, our_model = en_models
+    rng = np.random.RandomState(37)
+    waves = [(rng.randn(16000 * 2) * 0.1).astype(np.float32) for _ in range(2)]
+    kwargs = dict(
+        without_timestamps=True, sample_len=8, temperature=0.0, fp16=False,
+        beam_size=3, word_timestamps=True, no_speech_threshold=None,
+        language="en",
+    )
+    outs = transcribe_batch(our_model, waves, batch_size=2, **kwargs)
+    for wave, out in zip(waves, outs):
+        seq = transcribe(our_model, wave, verbose=None, **kwargs)
+        assert out["text"] == seq["text"]
+        assert len(out["segments"]) == len(seq["segments"])
+        for so, ss in zip(out["segments"], seq["segments"]):
+            assert [w["word"] for w in so["words"]] == [
+                w["word"] for w in ss["words"]]
+            for wo, ws in zip(so["words"], ss["words"]):
+                np.testing.assert_allclose(wo["start"], ws["start"], atol=0.05)
+                np.testing.assert_allclose(wo["end"], ws["end"], atol=0.05)
