@@ -32,11 +32,15 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     kv_int8 = os.environ.get("KV_INT8", "0") == "1"
-    model = from_random("base", seed=0, compute_dtype=jnp.bfloat16)
+    # MODEL= sweeps the family (small/medium/large-v3-turbo rows revalidate
+    # the fused logprobs-top-k kernel at n_vocab 51865/51866 and larger d)
+    model_size = os.environ.get("MODEL", "base")
+    model = from_random(model_size, seed=0, compute_dtype=jnp.bfloat16)
+    eot = 50256 if model_size.endswith(".en") else 50257
     rng = np.random.RandomState(0)
     mel8 = jnp.asarray(rng.randn(B, model.dims.n_mels, 3000).astype(np.float32) * 0.3)
     opts = DecodingOptions(language="en", without_timestamps=True, beam_size=5,
-                           sample_len=64, suppress_tokens="-1,50257", fp16=True,
+                           sample_len=64, suppress_tokens=f"-1,{eot}", fp16=True,
                            kv_quant=kv_int8)
     task = DecodingTask(model, opts)
     for _ in range(3):
@@ -45,8 +49,10 @@ def main():
     for i in range(5):
         task.run(mel8)
     dt = (time.perf_counter() - t0) / 5
-    print(f"beam=5 B={B} int8={kv_int8} base: {dt*1e3:.0f} ms/call = {B*30/dt:.0f} audio-sec/sec/chip",
+    print(f"beam=5 B={B} int8={kv_int8} {model_size}: {dt*1e3:.0f} ms/call = {B*30/dt:.0f} audio-sec/sec/chip",
           flush=True)
+    if os.environ.get("NO_TRACE", "0") == "1":  # family sweeps skip the trace
+        return
 
     os.system(f"rm -rf {LOGDIR}")
     jax.profiler.start_trace(LOGDIR)

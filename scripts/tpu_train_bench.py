@@ -40,6 +40,12 @@ def bench_one(model_size: str, B: int, dp_shard_map=True, K: int = 8):
     from asr_ttl_mtl_tpu.mtl import MultiTaskTrainer, TrainingConfig
 
     remat_env = os.environ.get("REMAT")  # "0"/"1" overrides the auto policy
+    K = int(os.environ.get("K", K))  # steps fused per dispatch
+    extra = {}
+    if remat_env is not None:
+        extra["remat"] = remat_env == "1"
+    if "CHUNKED_CE" in os.environ:  # A/B the chunked-CE path ("0" = materialized)
+        extra["chunked_ce"] = os.environ["CHUNKED_CE"] == "1"
     config = TrainingConfig(
         model_size=model_size,
         pretrained="random",  # architecture identical to the real checkpoint
@@ -47,7 +53,10 @@ def bench_one(model_size: str, B: int, dp_shard_map=True, K: int = 8):
         compute_dtype="bfloat16",
         dp_shard_map=dp_shard_map,
         seed=0,
-        **({"remat": remat_env == "1"} if remat_env is not None else {}),
+        # bf16 m/v buffers (MOMENT_DTYPE=bfloat16): the knob that fits
+        # whisper-medium's optimizer state on one chip
+        optimizer_moment_dtype=os.environ.get("MOMENT_DTYPE", "float32"),
+        **extra,
     )
     trainer = MultiTaskTrainer(config, verbose=False)
     tok = trainer.tokenizer

@@ -87,6 +87,19 @@ def parse_args():
                         "attention kernels stay live on multi-device meshes "
                         "(default True; False = GSPMD/pjit path with kernels "
                         "off; 'force' = shard_map even on one device)")
+    p.add_argument("--optimizer_moment_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the fused AdamW m/v buffers; "
+                        "bfloat16 halves optimizer HBM (fits whisper-medium "
+                        "fine-tuning on one 16 GB chip; update math stays f32)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: row-shard the fused optimizer state over the "
+                        "dp axis (shard_map dp path, dp>1)")
+    p.add_argument("--chunked_ce", type=str, default="auto",
+                   metavar="auto/True/False",
+                   help="chunked training cross-entropy — never materializes "
+                        "the (B, T, vocab) logits (default auto: on for "
+                        "single-device and dp-shard_map steps)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume_dir", type=str, default=None,
                    help="directory for full-state epoch checkpoints; if it already "
@@ -126,6 +139,10 @@ def main():
         steps_per_call=args.steps_per_call,
         packed_dispatch=args.packed_dispatch,
         dp_shard_map=args.dp_shard_map,
+        optimizer_moment_dtype=args.optimizer_moment_dtype,
+        zero1=args.zero1,
+        chunked_ce=(args.chunked_ce if args.chunked_ce == "auto"
+                    else args.chunked_ce.lower() in ("1", "true", "yes")),
         seed=args.seed,
         debug_dims=json.loads(args.debug_dims) if args.debug_dims else None,
         audio_samples=args.audio_samples,

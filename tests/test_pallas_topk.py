@@ -17,7 +17,10 @@ def _check(x, k):
 
 
 @pytest.mark.quick
-@pytest.mark.parametrize("b,v,k", [(4, 1000, 6), (240, 5187, 6), (3, 130, 2), (8, 128, 1)])
+@pytest.mark.parametrize("b,v,k", [(4, 1000, 6), (240, 5187, 6), (3, 130, 2), (8, 128, 1),
+                                   # whole-family vocab widths: multilingual-v2 (51865),
+                                   # v3 (51866), and the MTL-expanded 51869/51872
+                                   (2, 51865, 6), (2, 51866, 6), (2, 51872, 6)])
 def test_matches_lax_topk_random(b, v, k):
     rng = np.random.RandomState(b * v + k)
     _check(rng.randn(b, v).astype(np.float32), k)
