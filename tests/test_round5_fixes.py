@@ -162,3 +162,29 @@ def test_pjit_trainer_step_scopes_kernels_and_trains(tmp_path):
         assert dict(W._FLASH) == before
     finally:
         W._FLASH.update(ambient)
+
+
+# ---------------------------------------------------------------------------
+# remat composes with chunked CE (base bs>=128's config on TPU): remat must
+# be semantically identity — same loss, same updated params
+# ---------------------------------------------------------------------------
+
+
+def test_remat_composes_with_chunked_ce(tmp_path):
+    from asr_ttl_mtl_tpu.mtl import DataLoader, MultiTaskSpeechDataset
+
+    csv = _write_dataset(tmp_path)
+    results = {}
+    for remat in (False, True):
+        cfg = _config(tmp_path, csv, epochs=1, remat=remat, chunked_ce=True)
+        tr = MultiTaskTrainer(cfg, verbose=False)
+        assert tr._use_remat() is remat
+        ds = MultiTaskSpeechDataset(csv, cfg)
+        loader = DataLoader(ds, batch_size=4, num_workers=2,
+                            buckets=cfg.token_buckets)
+        m = tr.train_epoch(loader, epoch=0)
+        results[remat] = (m["loss"], jax.tree.leaves(tr._trainable()))
+    assert results[True][0] == pytest.approx(results[False][0], rel=1e-6)
+    for a, b in zip(results[True][1], results[False][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
