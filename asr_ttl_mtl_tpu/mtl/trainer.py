@@ -394,12 +394,20 @@ class MultiTaskTrainer:
         return scope()
 
     def _scoped(self, fn):
-        """Wrap a compiled step so every invocation runs under _kernel_scope."""
+        """Wrap a compiled step so every invocation runs under _kernel_scope.
+        jit introspection (`.lower`, used by the MFU cost analysis in
+        scripts/tpu_train_bench.py) is delegated, scoped the same way."""
 
         def wrapper(*args, **kwargs):
             with self._kernel_scope():
                 return fn(*args, **kwargs)
 
+        def lower(*args, **kwargs):
+            with self._kernel_scope():
+                return fn.lower(*args, **kwargs)
+
+        wrapper.lower = lower
+        wrapper.__wrapped__ = fn
         return wrapper
 
     def _forward(self, trainable, audio, input_tokens, target_tokens, classes,
