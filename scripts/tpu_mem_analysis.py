@@ -38,7 +38,7 @@ def analyze(model_size: str, B: int, chunked: str, remat: str,
         **({} if remat == "a" else {"remat": remat == "1"}),
     )
     trainer = MultiTaskTrainer(cfg, verbose=False)
-    T = 48
+    T = int(os.environ.get("T", "48"))  # token bucket; 448 = the long bucket
     rng = np.random.RandomState(0)
     audio = trainer._audio_for_transfer(
         (rng.randn(B, 480000) * 0.1).astype(np.float32))
@@ -49,7 +49,7 @@ def analyze(model_size: str, B: int, chunked: str, remat: str,
     step = trainer._get_train_step()
     a = jnp.asarray(0.5, jnp.float32)
     key = jax.random.PRNGKey(0)
-    tag = (f"{model_size} bs={B} chunked={trainer._use_chunked_ce()} "
+    tag = (f"{model_size} bs={B} T={T} chunked={trainer._use_chunked_ce()} "
            f"remat={trainer._use_remat()} moments={moment_dtype}")
     try:
         lowered = step.lower(
