@@ -123,11 +123,15 @@ class TrainingConfig:
     remat: object = "auto"
     # chunked training cross-entropy (ops/chunked_xent.py): compute the CE
     # fwd+bwd per row-chunk from the (B, T, d) hidden states so the
-    # (B, T, 51869) logits tensor is never materialized — removes training's
-    # largest activation (the round-4 OOM wall at base bs>=128) for one
-    # extra backward matmul. "auto" (default) = on for single-device and
-    # dp-shard_map steps, off on the pjit/GSPMD path. Eval always keeps the
-    # materialized fp32 logits (bit-unchanged teacher-forced semantics).
+    # (B, T, 51869) logits tensor is never materialized, for one extra
+    # backward matmul. Measured (PERF.md round 5): device step time parity
+    # with the materialized path (base bs=64 283 ms / MFU 16.9%); peak-HBM
+    # savings scale with B*T (modest at the short T=48 bucket where XLA
+    # already reused the logit buffers, decisive at the T=448 bucket and on
+    # medium where the fp32 logits would be multi-GB). "auto" (default) =
+    # on for single-device and dp-shard_map steps, off on the pjit/GSPMD
+    # path. Eval always keeps the materialized fp32 logits (bit-unchanged
+    # teacher-forced semantics).
     chunked_ce: object = "auto"
     # rows per chunk in the chunked CE scan: transient is
     # (ce_chunk_rows, n_vocab) f32 (~106 MB at 512); >=256 keeps the MXU

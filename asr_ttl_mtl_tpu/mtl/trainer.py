@@ -464,11 +464,11 @@ class MultiTaskTrainer:
             # Chunked CE (ops/chunked_xent.py): the decoder returns the
             # (B, T, d) hidden states and the tied-embedding projection +
             # softmax-CE run per row-chunk in f32 — the (B, T, 51869)
-            # training logits tensor (the largest activation; the round-4
-            # OOM wall at base bs>=128) is never materialized, forward or
-            # backward. Eval (train=False) keeps the materialized fp32
-            # logits contract so teacher-forced WER semantics and the CPU
-            # differential tests are bit-unchanged.
+            # training logits tensor is never materialized, forward or
+            # backward, at device-step-time parity with the materialized
+            # path (measured, PERF.md round 5). Eval (train=False) keeps
+            # the materialized fp32 logits contract so teacher-forced WER
+            # semantics and the CPU differential tests are bit-unchanged.
             hidden, _, _ = W.decoder_apply(
                 params, dims, input_tokens, feats,
                 compute_dtype=self.compute_dtype, return_hidden=True,

@@ -3,10 +3,15 @@ the (B, T, n_vocab) training logits tensor is never materialized.
 
 The reference trains with `nn.CrossEntropyLoss(ignore_index=-100)` over the
 full teacher-forced logits (speech_disorder/trainer.py:92-93). Materializing
-those logits is the single largest activation in training here: bf16
-(B, T, 51869) at base bs=128 exceeds one chip's HBM (the round-4 OOM wall
-that forced encoder remat), and its forward store + backward dlogits are
-pure HBM roofline traffic (~18.5 ms of the 139 ms tiny bs=64 step).
+those logits is the largest single training activation: bf16 (B, T, 51869)
+is 0.6 GB at base bs=128/T=48 and ~6 GB at the T=448 token bucket, and its
+forward store + backward dlogits are pure HBM roofline traffic (~18.5 ms of
+the 139 ms tiny bs=64 step in round 4). Measured effect (PERF.md round 5):
+device step time at parity with the materialized path (base bs=64: 283 ms,
+MFU 16.9%); compile-time peak-HBM drops by the logits tensor's un-reusable
+share — 0.33 GB at base-128/T=48 (XLA already aliased most of the logit
+buffers at that short bucket), growing with B*T toward the full multi-GB
+tensor at the T=192/448 buckets (see scripts/tpu_mem_analysis.py).
 
 This op computes the identical loss per row-chunk from the (B, T, d) hidden
 states instead:
