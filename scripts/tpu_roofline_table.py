@@ -115,8 +115,28 @@ def attention_custom_call_flops(trainer, B: int) -> float:
     return dims.n_audio_layer * 4.0 * B * t_run * t_run * dims.n_audio_state * factor
 
 
-def build_table(model_size: str, B: int):
-    rows, idx, trainer = profile_step(model_size, B)
+def load_trace(trace_dir: str):
+    """hlo_stats rows from an existing trace dir (post-process without TPU)."""
+    xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data(xplanes, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    d = json.loads(data)
+    cols = [c["id"] for c in d["cols"]]
+    idx = {c: i for i, c in enumerate(cols)}
+    rows = [[(c or {}).get("v") for c in r["c"]] for r in d["rows"]]
+    return rows, idx
+
+
+def build_table(rows, idx, label: str, extra: str = ""):
+    """Per-op roofline from the profiler's measured rates: each op's floor
+    is t * max(model_flop_rate / peak_flops, hbm_bw / peak_hbm_bw) — the
+    time the op would take if its own executed FLOPs ran at MXU peak or its
+    own HBM bytes moved at HBM peak, whichever binds. Custom-call (h2
+    attention kernel) rows are compared against the dh=64-capped MXU peak
+    (their dots cannot fill the 256-wide MXU k-dim)."""
 
     def g(r, col, default=0.0):
         v = r[idx[col]] if col in idx else None
@@ -125,37 +145,24 @@ def build_table(model_size: str, B: int):
         except (TypeError, ValueError):
             return default
 
-    # available columns vary by xprof version; find flops/bytes columns
-    flop_col = next((c for c in idx if "flop" in c.lower()), None)
-    byte_col = next((c for c in idx if "bytes" in c.lower()), None)
-    print(f"(columns: time=total_self_time flops={flop_col} bytes={byte_col})")
-
-    cc_flops_total = attention_custom_call_flops(trainer, B)
-    cc_time_total = sum(
-        g(r, "total_self_time") for r in rows
-        if "custom-call" in str(r[idx["category"]]).lower()
-    )
+    peak_gflops = PEAK_FLOPS / 1e9  # model_flop_rate is in GFLOP/s
+    hbm_gbps = HBM_BW / 1e9  # hbm_bw column is GB/s
 
     cats = {}
     for r in rows:
         cat = str(r[idx["category"]])
         t_us = g(r, "total_self_time")
-        fl = g(r, flop_col) if flop_col else 0.0
-        by = g(r, byte_col) if byte_col else 0.0
-        if "custom-call" in cat.lower():
-            # apportion the analytic kernel FLOPs by each call's share of
-            # custom-call time; dh=64 halves the usable MXU width
-            fl = cc_flops_total * (t_us / max(cc_time_total, 1e-9))
-            floor_s = fl / (PEAK_FLOPS * DH64_CAP)
-        else:
-            floor_s = max(fl / PEAK_FLOPS, by / HBM_BW)
+        flop_rate = g(r, "model_flop_rate")  # GFLOP/s, includes pallas calls
+        hbm_rate = g(r, "hbm_bw")  # GB/s of actual HBM traffic
+        peak = peak_gflops * (DH64_CAP if "custom-call" in cat.lower() else 1.0)
+        frac = max(flop_rate / peak, hbm_rate / hbm_gbps)
+        floor_us = t_us * min(frac, 1.0)
         n, t_sum, f_sum = cats.get(cat, (0, 0.0, 0.0))
-        cats[cat] = (n + 1, t_sum + t_us, f_sum + floor_s * 1e6)
+        cats[cat] = (n + 1, t_sum + t_us, f_sum + floor_us)
 
     total_t = sum(t for _, t, _ in cats.values())
     total_f = sum(f for _, _, f in cats.values())
-    print(f"\n=== roofline table: {model_size} bs={B} "
-          f"(remat={trainer._use_remat()}, chunked_ce={trainer._use_chunked_ce()}) ===")
+    print(f"\n=== roofline table: {label} {extra} ===")
     print(f"{'category':28s} {'ops':>5s} {'meas ms':>9s} {'floor ms':>9s} {'ratio':>6s}")
     for cat, (n, t_us, f_us) in sorted(cats.items(), key=lambda kv: -kv[1][1]):
         ratio = t_us / max(f_us, 1e-9)
@@ -163,15 +170,30 @@ def build_table(model_size: str, B: int):
               f"{min(ratio, 999):6.2f}")
     print(f"{'TOTAL':28s} {'':5s} {total_t/1e3:9.2f} {total_f/1e3:9.2f} "
           f"{total_t/max(total_f,1e-9):6.2f}")
-    print(f"summed floors bound the measured step within "
-          f"{(total_t/max(total_f,1e-9) - 1)*100:.0f}% overhead")
+    print(f"summed per-op floors bound the measured step: measured = "
+          f"{total_t/max(total_f,1e-9):.2f}x the floor sum")
     return cats
 
 
+def profile_and_table(model_size: str, B: int):
+    keep = os.environ.get("KEEP_TRACE")  # also copy the trace here
+    rows, idx, trainer = profile_step(model_size, B)
+    if keep:
+        os.system(f"rm -rf {keep} && cp -r {LOGDIR} {keep}")
+    build_table(rows, idx, f"{model_size} bs={B}",
+                f"(remat={trainer._use_remat()}, "
+                f"chunked_ce={trainer._use_chunked_ce()})")
+
+
 def main():
+    trace_dir = os.environ.get("TRACE_DIR")
+    if trace_dir:  # post-process an existing trace, no TPU needed
+        rows, idx = load_trace(trace_dir)
+        build_table(rows, idx, sys.argv[1] if len(sys.argv) > 1 else trace_dir)
+        return
     configs = [a.split(",") for a in sys.argv[1:]] or [("tiny", "64"), ("base", "64")]
     for m, b in configs:
-        build_table(m, int(b))
+        profile_and_table(m, int(b))
 
 
 if __name__ == "__main__":
