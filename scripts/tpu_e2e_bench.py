@@ -16,6 +16,8 @@ comparable to the headline's).
 Usage: python scripts/tpu_e2e_bench.py [model_size] [n_files] [file_seconds]
        [batch]  (defaults: base 80 120 320)
        env: WORDS=1 adds the word-timestamp pass to the timed run
+            BEAM=5 decodes the t=0 rung with beam search (keep batch ~48:
+            beam replicates the self-KV cache beam_size-fold)
 """
 
 import os
@@ -91,6 +93,10 @@ def main():
         word_timestamps=words,
         temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
     )
+    beam = int(os.environ.get("BEAM", "0"))
+    if beam:
+        kwargs["beam_size"] = beam
+        print(f"beam_size={beam} on the t=0 rung", flush=True)
 
     # phase probe: frontend only (file -> windows), separately timed.
     # Uses its own pass so the e2e number below stays a pure black-box
