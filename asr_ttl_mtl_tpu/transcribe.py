@@ -780,6 +780,7 @@ def transcribe_batch(
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     device_windows: Optional[bool] = None,
+    word_align_batch: Optional[int] = None,
     **decode_options,
 ) -> List[dict]:
     """Throughput-oriented batched transcription (TPU-native addition).
@@ -1099,13 +1100,18 @@ def transcribe_batch(
                     store.gather(lang_indices) if store is not None
                     else np.stack([windows[k].mel for k in lang_indices])
                 )
+            # the alignment program's per-window cross-QK intermediate is
+            # tens of MB fp32, so its chunk is capped separately from the
+            # decode batch (word_align_batch): a batch-320 decode pairs
+            # with e.g. 80-window alignment chunks without recompiling the
+            # decode programs
             alignments = find_alignment_batch(
                 model,
                 tokenizer,
                 token_lists,
                 mels_group,
                 [windows[k].size for k in lang_indices],
-                batch_size=batch_size,
+                batch_size=word_align_batch or batch_size,
                 features=features,
             )
             for k, alignment in zip(lang_indices, alignments):

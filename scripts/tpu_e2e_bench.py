@@ -97,6 +97,10 @@ def main():
     if beam:
         kwargs["beam_size"] = beam
         print(f"beam_size={beam} on the t=0 rung", flush=True)
+    wab = int(os.environ.get("WORD_ALIGN_BATCH", "0"))
+    if wab:
+        kwargs["word_align_batch"] = wab
+        print(f"word_align_batch={wab}", flush=True)
 
     # phase probe: frontend only (file -> windows), separately timed.
     # Uses its own pass so the e2e number below stays a pure black-box

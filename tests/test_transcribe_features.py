@@ -608,3 +608,28 @@ def test_batch_beam_with_word_timestamps_matches_sequential(en_models):
             for wo, ws in zip(so["words"], ss["words"]):
                 np.testing.assert_allclose(wo["start"], ws["start"], atol=0.05)
                 np.testing.assert_allclose(wo["end"], ws["end"], atol=0.05)
+
+
+def test_word_align_batch_cap_is_semantically_identity(en_models):
+    """word_align_batch caps the alignment program's chunk without changing
+    results (the knob that keeps batch-320 decodes from compiling a
+    320-window alignment program)."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    _, our_model = en_models
+    rng = np.random.RandomState(41)
+    waves = [(rng.randn(16000 * 2) * 0.1).astype(np.float32) for _ in range(3)]
+    kwargs = dict(
+        without_timestamps=True, sample_len=8, temperature=0.0, fp16=False,
+        word_timestamps=True, no_speech_threshold=None, language="en",
+    )
+    full = transcribe_batch(our_model, waves, batch_size=3, **kwargs)
+    capped = transcribe_batch(our_model, waves, batch_size=3,
+                              word_align_batch=1, **kwargs)
+    for a, b in zip(full, capped):
+        assert a["text"] == b["text"]
+        for sa, sb in zip(a["segments"], b["segments"]):
+            assert [w["word"] for w in sa["words"]] == [
+                w["word"] for w in sb["words"]]
+            for wa, wb in zip(sa["words"], sb["words"]):
+                assert wa["start"] == wb["start"] and wa["end"] == wb["end"]
