@@ -557,15 +557,21 @@ class MultiTaskTrainer:
 
     def _use_remat(self) -> bool:
         """Encoder-block remat policy (config.remat): "auto" enables it on
-        TPU when the stored encoder activations would approach HBM capacity
-        in the fused multi-step train program. Measured OOM boundary on the
-        16 GB v5e (round 4, after bf16 training-CE logit stores shrank the
-        peak): tiny (d=384, 4L) bs=128 and base (d=512, 6L) bs=64 — product
-        B*d*layers = 196k — now FIT without remat (base bs=64: 324 -> 280
-        ms/step, MFU 15.7 -> 17.1%); base bs=128 (393k) still exceeds HBM.
-        The 200k threshold sits just above the measured-fitting product."""
+        TPU when estimated activations + resident train state approach HBM.
+
+        Estimate calibrated against the measured 16 GB v5e boundary (rounds
+        4-5, chunked CE): activations ~= 45 KB per unit of
+        b_local * d_audio * audio_layers (T=1500 fixed); resident state =
+        n_params * (4 fp32 params + 4 fp32 grads + m/v moment bytes).
+        Measured anchor points all respected: tiny bs<=128 and base bs<=64
+        fit un-remat'd (base-64: est 10.0 GB, measured fine at MFU 16.9%);
+        base bs=128 does not (est 18.9 GB vs measured compile-OOM at
+        17.2 GB needed); medium bs=8 with bf16 moments needs remat (est
+        18.0 GB un-remat'd; measured fitting WITH remat at 13.9 GB peak)."""
         mode = getattr(self.config, "remat", "auto")
         if mode == "auto":
+            if jax.default_backend() != "tpu":
+                return False
             d = self.model.dims.n_audio_state
             layers = self.model.dims.n_audio_layer
             # Under dp (shard_map or pjit) each device stores activations for
@@ -573,8 +579,17 @@ class MultiTaskTrainer:
             # multi-chip runs don't over-trigger remat.
             dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
             b_local = max(1, self.config.batch_size // max(1, dp))
-            return (jax.default_backend() == "tpu"
-                    and b_local * d * layers > 200_000)
+            act_bytes = b_local * d * layers * 45_000
+            n_params = sum(
+                int(np.prod(p.shape)) for p in jax.tree.leaves(self.model.params)
+            )
+            moment_bytes = 2 * jnp.dtype(
+                getattr(self.config, "optimizer_moment_dtype", "float32")
+            ).itemsize
+            if self._use_zero1():  # m/v row-sharded over dp
+                moment_bytes /= max(1, dp)
+            state_bytes = n_params * (4 + 4 + moment_bytes)
+            return act_bytes + state_bytes > 13.5e9
         return bool(mode)
 
     def _effective_weights(self, alpha, beta, cls_loss, trans_loss):

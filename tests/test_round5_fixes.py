@@ -188,3 +188,62 @@ def test_remat_composes_with_chunked_ce(tmp_path):
     for a, b in zip(results[True][1], results[False][1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# auto-remat policy: must account for resident train state (medium's 769M
+# params + moments) — measured anchors from PERF.md rounds 4-5
+# ---------------------------------------------------------------------------
+
+
+def test_auto_remat_policy_anchors(tmp_path, monkeypatch):
+    from asr_ttl_mtl_tpu.mtl import TrainingConfig
+
+    dims = {
+        "tiny": dict(n_audio_state=384, n_audio_layer=4, n_params=39_000_000),
+        "base": dict(n_audio_state=512, n_audio_layer=6, n_params=74_000_000),
+        "medium": dict(n_audio_state=1024, n_audio_layer=24, n_params=769_000_000),
+    }
+
+    class FakeDims:
+        def __init__(self, d):
+            self.n_audio_state = d["n_audio_state"]
+            self.n_audio_layer = d["n_audio_layer"]
+
+    class FakeModel:
+        def __init__(self, d):
+            self.dims = FakeDims(d)
+            # one fake leaf carrying the param count
+            self.params = {"w": np.zeros((d["n_params"],), np.float32)}
+
+    def policy(model_size, batch, moment_dtype="float32", zero1=False, dp=1):
+        from asr_ttl_mtl_tpu.mtl.trainer import MultiTaskTrainer
+
+        tr = MultiTaskTrainer.__new__(MultiTaskTrainer)
+        tr.config = TrainingConfig(
+            model_size=model_size, batch_size=batch,
+            optimizer_moment_dtype=moment_dtype, zero1=zero1,
+            dp_shard_map=True,
+        )
+        tr.model = FakeModel(dims[model_size])
+        tr._dp_shard_map = dp > 1
+
+        class M:
+            shape = {"dp": dp, "tp": 1}
+            size = dp
+
+        tr.mesh = M()
+        return tr._use_remat()
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # measured anchors (PERF.md): fits un-remat'd
+    assert policy("tiny", 64) is False
+    assert policy("tiny", 128) is False
+    assert policy("base", 64) is False
+    # measured compile-OOM un-remat'd -> remat
+    assert policy("base", 128) is True
+    # medium bs=8 needs remat even with bf16 moments (measured via REMAT=1)
+    assert policy("medium", 8, moment_dtype="bfloat16") is True
+    assert policy("medium", 8) is True
+    # dp spreads activations: base bs=128 over dp=4 is per-device bs=32
+    assert policy("base", 128, dp=4) is False
