@@ -346,3 +346,28 @@ def test_tp_mesh_uses_fused_optimizer_and_matches_per_leaf():
     for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_trainer_bf16_moments_converges_like_fp32(tmp_path):
+    """Through the FULL trainer (the medium-runbook config, scaled down):
+    two epochs with bf16 m/v buffers must track fp32-moment training —
+    same-loss-to-within-noise, monotone improvement."""
+    from asr_ttl_mtl_tpu.mtl import DataLoader, MultiTaskSpeechDataset, MultiTaskTrainer
+    from test_mtl import _config, _write_dataset
+
+    csv = _write_dataset(tmp_path)
+    finals = {}
+    for md in ("float32", "bfloat16"):
+        cfg = _config(tmp_path, csv, epochs=2, optimizer_moment_dtype=md,
+                      save_dir=str(tmp_path / md))
+        tr = MultiTaskTrainer(cfg, verbose=False)
+        ds = MultiTaskSpeechDataset(csv, cfg)
+        loader = DataLoader(ds, batch_size=4, num_workers=2,
+                            buckets=cfg.token_buckets)
+        m1 = tr.train_epoch(loader, epoch=0)
+        m2 = tr.train_epoch(loader, epoch=1)
+        assert m2["loss"] < m1["loss"]  # learning
+        finals[md] = m2["loss"]
+    # bf16 moment rounding must not visibly change the trajectory at this
+    # scale (lr 1e-3, 2 epochs)
+    assert finals["bfloat16"] == pytest.approx(finals["float32"], rel=0.02)
