@@ -53,6 +53,10 @@ def profile_step(model_size: str, B: int):
     config = TrainingConfig(
         model_size=model_size, pretrained="random", compute_dtype="bfloat16",
         batch_size=B,
+        # match tpu_train_bench's knobs so medium profiles under the
+        # same config its measured row used
+        optimizer_moment_dtype=os.environ.get("MOMENT_DTYPE", "float32"),
+        **({"remat": os.environ["REMAT"] == "1"} if "REMAT" in os.environ else {}),
     )
     trainer = MultiTaskTrainer(config, verbose=False)
     rng = np.random.RandomState(0)
