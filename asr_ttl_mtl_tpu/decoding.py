@@ -25,6 +25,7 @@ Beam search lives in :mod:`asr_ttl_mtl_tpu.beam`.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field, replace
 from functools import lru_cache, partial
 from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Tuple, Union
@@ -764,9 +765,38 @@ class DecodingTask:
                 self.model.params, feats
             )
             return feats, cross_kv
-        return _build_encoder(
+        enc = _build_encoder(
             self.model.dims, self._dtype_name, self.kv_quant, self.int8_encoder
-        )(self.model.params, mel)
+        )
+        b = mel.shape[0]
+        # the standalone encoder program's transients scale with its batch
+        # (~17.6 GB at 320 base windows on the round-5 server compiler —
+        # over HBM); above the cap, dispatch even sub-batches of ONE compiled
+        # shape and concatenate on device. The decode program's inputs
+        # (feats + cross-KV) are identical, outputs bit-identical, and the
+        # chunk dispatches pipeline asynchronously like everything else.
+        cap = int(os.environ.get("ASRMTL_ENCODE_CHUNK", "160"))
+        if cap <= 0 or b <= cap:
+            return enc(self.model.params, mel)
+        n_chunks = -(-b // cap)
+        csize = -(-b // n_chunks)
+        feats_parts, kv_parts = [], []
+        for i in range(0, b, csize):
+            sub = mel[i : i + csize]
+            real = sub.shape[0]
+            if real < csize:  # pad the tail chunk to the one program shape
+                sub = jnp.concatenate(
+                    [sub, jnp.broadcast_to(sub[-1:], (csize - real,) + sub.shape[1:])]
+                )
+            f, kv = enc(self.model.params, sub)
+            if real < csize:
+                f = f[:real]
+                kv = jax.tree.map(lambda a: a[:, :real], kv)  # batch axis 1 (L-stacked)
+            feats_parts.append(f)
+            kv_parts.append(kv)
+        feats = jnp.concatenate(feats_parts, axis=0)
+        cross_kv = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *kv_parts)
+        return feats, cross_kv
 
     def run(
         self, mel: jnp.ndarray, rng_seed: int = 0, _disabled: tuple = ()

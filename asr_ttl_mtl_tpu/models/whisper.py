@@ -546,6 +546,7 @@ def decoder_apply(
     pos_offset: Any = 0,  # scalar (traced ok): absolute position of tokens[:, 0]
     compute_dtype: jnp.dtype = jnp.float32,
     return_cross_qk: bool = False,
+    cross_qk_pairs: Optional[Tuple[Tuple[int, int], ...]] = None,
     logits_slice: Optional[int] = None,  # keep only the last N positions' logits
     logits_dtype: Optional[jnp.dtype] = None,  # None = fp32 (default contract)
     return_hidden: bool = False,  # skip the vocab projection, return (B,T,D)
@@ -563,7 +564,12 @@ def decoder_apply(
     Returns (logits fp32, updated kv_cache or None, cross_qk or None).
     cross_qk: (L, B, n_head, T, Ta) fp32 pre-softmax attention logits for the
     word-timestamp DTW path (replaces the reference's forward hooks,
-    timing.py:185-192).
+    timing.py:185-192). With `cross_qk_pairs` — a static tuple of
+    (layer, head) alignment pairs — only those heads' rows are captured and
+    the return is (n_pairs, B, T, Ta) in pair order instead: the full
+    all-layer/all-head stack is L*H/n_pairs larger (14.7 GB fp32 at 320
+    base windows vs 2.0 GB for its 8 alignment pairs) and was the
+    batched-alignment program's HBM ceiling.
     """
     p = params["decoder"]
     B, T = tokens.shape
@@ -708,7 +714,12 @@ def decoder_apply(
                 qc, ck, cv, dims.n_text_head, return_qk=return_cross_qk,
             )
         if return_cross_qk:
-            cross_qks.append(qk)
+            if cross_qk_pairs is not None:
+                sel = [h for (l, h) in cross_qk_pairs if l == li]
+                if sel:  # layers with no alignment head contribute nothing
+                    cross_qks.append(qk[:, np.asarray(sel, np.int32)])
+            else:
+                cross_qks.append(qk)
         x = res + linear(block["cross_attn"]["out"], att)
 
         # --- mlp ---
@@ -744,7 +755,15 @@ def decoder_apply(
         updated_cache = {"k": cache_k, "v": cache_v}
     else:
         updated_cache = None
-    cross_qk = jnp.stack(cross_qks) if return_cross_qk else None
+    if not return_cross_qk:
+        cross_qk = None
+    elif cross_qk_pairs is not None:
+        # (B, n_pairs, T, Ta) -> pair-major, ordered like cross_qk_pairs
+        # (layer-major within the per-layer loop, head order within a layer
+        # preserved — matches np.argwhere's row-major pair ordering)
+        cross_qk = jnp.moveaxis(jnp.concatenate(cross_qks, axis=1), 1, 0)
+    else:
+        cross_qk = jnp.stack(cross_qks)
     return logits, updated_cache, cross_qk
 
 

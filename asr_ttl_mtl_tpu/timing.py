@@ -209,10 +209,9 @@ def _build_alignment_forward_batch(
       reflect-pad `ops.median.median_filter` applies after cropping),
     so cropped results match the single-window path column-for-column."""
     from .models import whisper as W
+    from .ops.chunked_xent import chunked_softmax_xent
 
     compute_dtype = jnp.dtype(compute_dtype_name)
-    layers = np.asarray([p[0] for p in head_pairs])
-    heads = np.asarray([p[1] for p in head_pairs])
     half = medfilt_width // 2
 
     def run(params, mels, tokens, frame_lens, row_lens, qk_scale):
@@ -223,13 +222,15 @@ def _build_alignment_forward_batch(
             feats = mels.astype(compute_dtype)
         else:
             feats = W.encoder_apply(params, dims, mels, compute_dtype)
-        logits, _, cross_qk = W.decoder_apply(
+        # only the alignment head pairs' QK rows are captured — the full
+        # (L, B, H, T_text, T_audio) fp32 stack is L*H/n_pairs larger and
+        # was the batched program's HBM ceiling (14.7 GB at 320 base
+        # windows); the decoder returns (n_sel, B, Tt, Ta) in pair order
+        hidden, _, weights = W.decoder_apply(
             params, dims, tokens, feats, compute_dtype=compute_dtype,
-            return_cross_qk=True,
+            return_cross_qk=True, return_hidden=True,
+            cross_qk_pairs=head_pairs,
         )
-        # cross_qk: (L, B, H, T_text, T_audio) fp32 pre-softmax; the paired
-        # advanced indices land the selected-head axis first -> (n_sel, B, Tt, Ta)
-        weights = cross_qk[layers, :, heads]
         n_audio = weights.shape[-1]
         frame_ok = jnp.arange(n_audio)[None, :] < frame_lens[:, None]  # (B, Ta)
         weights = jnp.where(
@@ -278,12 +279,21 @@ def _build_alignment_forward_batch(
 
         # probability each position assigns its teacher-forced next token,
         # normalized over the text vocabulary only (as the single-window path
-        # does with logits[:, :eot])
-        probs = jax.nn.softmax(logits.astype(jnp.float32)[..., :eot], axis=-1)
+        # does with logits[:, :eot]) — computed per row-chunk from the hidden
+        # states (ops/chunked_xent.py): picked = exp(logit[tgt] - logsumexp),
+        # with the SAME f32-accumulated tied-embedding dot the materialized
+        # path used, so values agree to ~1 ulp (exp-of-difference vs
+        # softmax-then-gather). The fp32 (B, T_text, n_vocab) logits+softmax
+        # pair — 2 x 7.7 GB at 320 base windows, the buffer-assignment OOM
+        # that forced word_align_batch=80 (PERF.md round 5) — never exists
+        # in the program; alignment memory is now O(row_chunk x n_vocab).
         next_ids = jnp.roll(tokens, -1, axis=1)  # last column is junk
-        picked = jnp.take_along_axis(
-            probs, jnp.minimum(next_ids, eot - 1)[..., None], axis=-1
-        )[..., 0]
+        tgt = jnp.minimum(next_ids, eot - 1).astype(jnp.int32)
+        nll, _ = chunked_softmax_xent(
+            hidden, params["decoder"]["token_embedding"][:eot], tgt,
+            ignore_index=-1,
+        )
+        picked = jnp.exp(-nll)
         return matrix, picked
 
     return jax.jit(run)

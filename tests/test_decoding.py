@@ -11,6 +11,7 @@ Two layers of testing:
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from conftest import import_reference_whisper, reference_available
@@ -291,3 +292,33 @@ class TestBf16LogitCarry:
         (res,) = task.run(jnp.asarray(_mel(batch=1, seed=6)))
         assert np.isfinite(res.avg_logprob)
         assert all(0 <= t < DIMS.n_vocab for t in res.tokens)
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_encode_audio_chunked_matches_single(models, kv_quant, monkeypatch):
+    """_encode_audio above ASRMTL_ENCODE_CHUNK dispatches even sub-batches of
+    one compiled encoder shape (the 320-window unfused program OOM'd the
+    round-5 server compiler) — feats and cross-KV must be bit-identical to
+    the single-dispatch path, including the padded tail chunk and the int8
+    quantized layout."""
+    _, our_model = models
+    mel = jnp.asarray(_mel(batch=5, seed=23))
+    task = D.DecodingTask(
+        our_model,
+        D.DecodingOptions(fp16=False, language="en", kv_quant=kv_quant,
+                          fuse_encoder=False),
+    )
+    whole = task._encode_audio(mel)
+    monkeypatch.setenv("ASRMTL_ENCODE_CHUNK", "2")  # 5 -> 3 chunks of 2 (pad 1)
+    chunked = task._encode_audio(mel)
+    np.testing.assert_array_equal(np.asarray(whole[0]), np.asarray(chunked[0]))
+    for leaf_w, leaf_c in zip(
+        jax.tree.leaves(whole[1]), jax.tree.leaves(chunked[1])
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf_w), np.asarray(leaf_c))
+    # and the decode results through run() are unchanged
+    res_chunked = task.run(mel)
+    monkeypatch.delenv("ASRMTL_ENCODE_CHUNK")
+    res_ref = task.run(mel)
+    for a, b in zip(res_chunked, res_ref):
+        assert a.tokens == b.tokens and a.text == b.text

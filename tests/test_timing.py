@@ -203,3 +203,36 @@ def test_dtw_paths_batch_interpret_parity():
         ref = backtrace(dtw_wavefront_numpy(x[b, : ns[b], : ms[b]].astype(np.float64)))
         np.testing.assert_array_equal(ref[0], ti)
         np.testing.assert_array_equal(ref[1], tj)
+
+
+def test_decoder_selective_cross_qk_capture(models):
+    """decoder_apply(cross_qk_pairs=...) returns exactly the selected rows of
+    the full (L, B, H, Tt, Ta) capture, in pair order — the batched
+    alignment program depends on this (the full stack is L*H/n_pairs larger
+    and was its HBM ceiling at large window batches)."""
+    from asr_ttl_mtl_tpu.models import whisper as W
+
+    _, ours = models
+    rng = np.random.RandomState(7)
+    mels = jnp.asarray(rng.randn(2, DIMS.n_mels, DIMS.n_audio_ctx * 2), jnp.float32)
+    tokens = jnp.asarray(rng.randint(0, DIMS.n_vocab, (2, 9)), jnp.int32)
+    feats = W.encoder_apply(ours.params, DIMS, mels, jnp.float32)
+
+    full_logits, _, full_qk = W.decoder_apply(
+        ours.params, DIMS, tokens, feats, compute_dtype=jnp.float32,
+        return_cross_qk=True,
+    )
+    pairs = ((0, 1), (0, 3), (1, 0), (1, 2))  # layer-major like np.argwhere
+    hidden, _, sel_qk = W.decoder_apply(
+        ours.params, DIMS, tokens, feats, compute_dtype=jnp.float32,
+        return_cross_qk=True, return_hidden=True, cross_qk_pairs=pairs,
+    )
+    layers = np.asarray([p[0] for p in pairs])
+    heads = np.asarray([p[1] for p in pairs])
+    np.testing.assert_array_equal(
+        np.asarray(sel_qk), np.asarray(full_qk)[layers, :, heads]
+    )
+    # return_hidden composes: projecting the hidden states reproduces logits
+    embed = ours.params["decoder"]["token_embedding"]
+    re_logits = np.asarray(hidden) @ np.asarray(embed).T
+    np.testing.assert_allclose(np.asarray(full_logits), re_logits, atol=1e-4)
