@@ -839,13 +839,36 @@ def transcribe_batch(
     elif use_dev_windows and clip_timestamps != "0":
         use_dev_windows = False
 
+    # Words-mode feature capture decodes with fuse_encoder=False; the
+    # remote server compiler fp32-materializes that unfused program's bf16
+    # cross-KV around the decode while_loop (2 x (L, B, Ta, D) f32 plus a
+    # relayout copy — 17.6 GB at 320 base windows, a compile-time OOM even
+    # though the StableHLO carries only bf16 KV + decode-kernel calls).
+    # Cap the unfused decode program's batch; the window/feature stores
+    # adopt the same chunk so the rung-0 fast path and feature capture keep
+    # their aligned-chunk geometry. ASRMTL_UNFUSED_DECODE_BATCH=0 disables.
+    decode_batch = batch_size
+    _lang_known = normalize_language(decode_options.get("language"))
+    if _lang_known is None and not model.is_multilingual:
+        _lang_known = "en"
+    if (
+        word_timestamps
+        and use_dev_windows
+        and mesh is None
+        and _lang_known is not None
+        and not decode_options.get("int8_encoder", False)
+    ):
+        _cap = int(os.environ.get("ASRMTL_UNFUSED_DECODE_BATCH", "160"))
+        if _cap > 0:
+            decode_batch = min(batch_size, _cap)
+
     store = None
     if use_dev_windows:
         decoded, total_windows = _decode_audios(model, audios)
         cap = int(os.environ.get("ASRMTL_DEVICE_WINDOWS_CAP", "2048"))
         if 0 < total_windows <= cap:
             store = _WindowStore(
-                min(batch_size, total_windows), model.dims.n_mels,
+                min(decode_batch, total_windows), model.dims.n_mels,
                 total=total_windows,
             )
             windows = _window_metadata(decoded)
@@ -951,7 +974,7 @@ def transcribe_batch(
         and not decode_options.get("int8_encoder", False)
         and len(windows) <= int(os.environ.get("ASRMTL_FEATURE_STORE_CAP", "2048"))
     ):
-        feat_store = _FeatureStore(min(batch_size, len(windows)))
+        feat_store = _FeatureStore(min(decode_batch, len(windows)))
         decode_options["fuse_encoder"] = False
 
     def decode_subset(indices: List[int], t: float, lang: str) -> None:
@@ -968,9 +991,9 @@ def transcribe_batch(
 
         # every chunk — including ladder-retry subsets smaller than the first
         # rung's — pads up to the ONE program batch the first rung compiled
-        # (min(batch_size, total windows)); fresh shapes cost minutes over a
-        # remote-attached chip
-        program_b = min(batch_size, len(windows))
+        # (min(decode_batch, total windows)); fresh shapes cost minutes over
+        # a remote-attached chip
+        program_b = min(decode_batch, len(windows))
         for i in range(0, len(indices), program_b):
             group = indices[i : i + program_b]
             aligned_chunk = (
@@ -1111,7 +1134,13 @@ def transcribe_batch(
                 token_lists,
                 mels_group,
                 [windows[k].size for k in lang_indices],
-                batch_size=word_align_batch or batch_size,
+                # default the alignment chunk to the (possibly capped)
+                # decode program batch: at 320 windows the features-input
+                # alignment program compiles but cannot allocate its
+                # runtime arena next to the resident stores (measured
+                # RESOURCE_EXHAUSTED, PERF.md round 5); the 160-chunk
+                # matches the feature-store chunk geometry exactly
+                batch_size=word_align_batch or decode_batch,
                 features=features,
             )
             for k, alignment in zip(lang_indices, alignments):

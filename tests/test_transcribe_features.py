@@ -633,3 +633,23 @@ def test_word_align_batch_cap_is_semantically_identity(en_models):
                 w["word"] for w in sb["words"]]
             for wa, wb in zip(sa["words"], sb["words"]):
                 assert wa["start"] == wb["start"] and wa["end"] == wb["end"]
+
+
+def test_unfused_decode_batch_cap_identical(batch_model, short_waves, long_wave, monkeypatch):
+    """ASRMTL_UNFUSED_DECODE_BATCH caps the words-mode unfused decode
+    program's batch (the server compiler fp32-materializes its cross-KV —
+    a compile OOM at 320 windows); the window/feature stores adopt the
+    capped chunk, and results must be identical to the uncapped run."""
+    from asr_ttl_mtl_tpu.transcribe import transcribe_batch
+
+    model = batch_model
+    inputs = list(short_waves[:2]) + [long_wave]
+    kwargs = dict(
+        without_timestamps=True, sample_len=8, fp16=False, temperature=0.0,
+        language="en", word_timestamps=True, suppress_tokens=_SUPPRESS,
+        batch_size=4,
+    )
+    full = transcribe_batch(model, inputs, device_windows=True, **kwargs)
+    monkeypatch.setenv("ASRMTL_UNFUSED_DECODE_BATCH", "2")
+    capped = transcribe_batch(model, inputs, device_windows=True, **kwargs)
+    assert full == capped
